@@ -1,0 +1,102 @@
+"""Lineage + metrics manifest (FIXTURES.md §4 / SURVEY.md K5).
+
+The reference writes a per-ingest reconciliation report — XML count vs
+persisted count per model type, with ok/under/not_supported status —
+(/root/reference/ingestion/scripts/cellebrite/ingestion.py:82-131) and uses
+it as a continuous test. This module is the Spark analog: every pipeline
+stage appends (run_id, stage, partition_id, in_rows, out_rows, quarantined,
+started_at, finished_at, snapshot_id) rows; stage-level totals live in the
+partition_id = -1 row, per-output-partition counts in the rest.
+
+With a parquet warehouse the "snapshot" is the _SUCCESS-committed stage
+directory; on Iceberg it would be the table snapshot id — the resume logic
+(pipeline.StageRunner) only trusts committed outputs either way.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+MANIFEST_SCHEMA = StructType([
+    StructField("run_id", StringType()),
+    StructField("stage", StringType()),
+    StructField("partition_id", IntegerType()),
+    StructField("in_rows", LongType()),
+    StructField("out_rows", LongType()),
+    StructField("quarantined", LongType()),
+    StructField("started_at", TimestampType()),
+    StructField("finished_at", TimestampType()),
+    StructField("snapshot_id", StringType()),
+])
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:16]
+
+
+class ManifestWriter:
+    """Collects manifest rows for one run; optionally persists to parquet."""
+
+    def __init__(self, spark: SparkSession, run_id: str | None = None,
+                 path: str | None = None):
+        self.spark = spark
+        self.run_id = run_id or new_run_id()
+        self.path = path
+        self._rows: list[tuple] = []
+
+    def record(self, stage: str, in_rows: int, out_df: DataFrame | None = None,
+               out_rows: int | None = None, quarantined: int = 0,
+               started_at: datetime | None = None,
+               snapshot_id: str | None = None,
+               per_partition: bool = True) -> None:
+        now = datetime.now(timezone.utc)
+        started = started_at or now
+        if out_df is not None and per_partition:
+            parts = (
+                out_df.groupBy(F.spark_partition_id().alias("pid"))
+                .count().collect()
+            )
+            total = 0
+            for r in parts:
+                total += r["count"]
+                self._rows.append((self.run_id, stage, int(r["pid"]),
+                                   int(in_rows), int(r["count"]), 0,
+                                   started, now, snapshot_id))
+            out_total = total if out_rows is None else out_rows
+        else:
+            out_total = int(out_rows or 0)
+        self._rows.append((self.run_id, stage, -1, int(in_rows),
+                           int(out_total), int(quarantined), started, now,
+                           snapshot_id))
+
+    def to_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._rows, schema=MANIFEST_SCHEMA)
+
+    def flush(self) -> DataFrame:
+        df = self.to_df()
+        if self.path:
+            df.coalesce(1).write.mode("append").parquet(self.path)
+        return df
+
+
+def stage_is_committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.time()
+        self.started_at = datetime.now(timezone.utc)
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.time() - self.t0

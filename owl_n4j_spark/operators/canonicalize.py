@@ -1,0 +1,147 @@
+"""Stage 5 — canonicalization: identity unification across aliases/devices.
+
+The reference reaches identity fixpoint through chains of pairwise merges
+(merge_entities / bulk_merge_entities / merge_person_identities —
+/root/reference/backend/services/neo4j_service.py:2553-3052; WhatsApp-JID
+folding — /root/reference/scripts/merge_whatsapp_identities.py). That is a
+serial union-find executed against the database.
+
+Spark-first re-expression: build the same-as edge set once (exact dict hits,
+confirmed fuzzy pairs, extracted SAME_AS evidence, shared canonical phone is
+implicit in key equality) and run **iterative hash-min connected components**
+— each vertex repeatedly adopts the minimum label in its neighbourhood until
+fixpoint. Labels are priority-prefixed ("0|phone-..." < "1|email-..." <
+"3|name") so the winning label of a component IS the canonical key elected
+by the reference's key cascade priority (phone > email > app-id > name).
+
+Skew: the documented hub entities (70k+ relationships — BASELINE.md) make
+the per-destination min-aggregation skewed. The aggregation is algebraic, so
+we salt explicitly: partial min per (dst, salt) then final min per dst —
+two map-side-combinable aggs with bounded partition sizes — in addition to
+AQE skew-join splitting on the label join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from owl_n4j_spark.functions.keys import key_priority_col
+
+N_SALTS = 16
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    canon_keys: DataFrame | None = None,
+) -> DataFrame:
+    """edges(src,dst) -> DataFrame(member_key, canonical_key).
+
+    Hash-min label propagation with priority-prefixed labels, salted
+    partial aggregation, and lineage truncation via localCheckpoint.
+    Converges in O(diameter) rounds; alias graphs are near-star-shaped
+    (diameter <= ~4), so this is a handful of cheap shuffles.
+
+    ``canon_keys`` (single column ``key``): keys that are dictionary
+    canonicals — within the same cascade-priority class they win the
+    election over incidental aliases (e.g. "emerald-imports-ltd" beats the
+    short form "emerald-imports").
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("a").alias("v")).dropDuplicates(["v"])
+    if canon_keys is not None:
+        verts = verts.join(
+            F.broadcast(canon_keys.select(F.col("key").alias("v"))
+                        .withColumn("__is_canon", F.lit(0))),
+            on="v", how="left")
+    else:
+        verts = verts.withColumn("__is_canon", F.lit(None).cast("int"))
+    prio = key_priority_col(F.col("v")) * 2 + F.coalesce(F.col("__is_canon"), F.lit(1))
+    labels = (
+        verts.withColumn("comp", F.concat(prio.cast("string"), F.lit("|"), F.col("v")))
+        .drop("__is_canon")
+        .localCheckpoint(eager=True)
+    )
+
+    for it in range(max_iter):
+        # neighbour minimum, salted two-stage (explicit hub-skew handling)
+        nbr = (
+            sym.join(labels.withColumnRenamed("v", "a"), on="a")
+            .withColumn("salt", F.pmod(F.xxhash64("a"), F.lit(N_SALTS)))
+            .groupBy("b", "salt").agg(F.min("comp").alias("comp_p"))
+            .groupBy("b").agg(F.min("comp_p").alias("nbr_comp"))
+            .withColumnRenamed("b", "v")
+        )
+        new_labels = (
+            labels.join(nbr, on="v", how="left")
+            .select("v", F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"),
+                                                           F.col("comp"))).alias("comp"),
+                    (F.col("nbr_comp") < F.col("comp")).alias("changed"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("v").alias("member_key"),
+        F.substring_index(F.col("comp"), "|", -1).alias("canonical_key"),
+    )
+
+
+def build_sameas_edges(
+    mapping: DataFrame,
+    sameas_records: DataFrame,
+) -> DataFrame:
+    """Assemble the same-entity edge set (SURVEY.md G6).
+
+    mapping:        (raw_key, canonical_key, method) from linking — every
+                    non-self resolution is a same-as edge.
+    sameas_records: extraction records with kind='sameas'
+                    (subj_key, obj_key raw) — remapped by caller or raw.
+    """
+    e1 = (
+        mapping.filter(F.col("method") != "self")
+        .select(F.col("raw_key").alias("src"), F.col("canonical_key").alias("dst"))
+    )
+    e2 = sameas_records.select(F.col("subj_key").alias("src"),
+                               F.col("obj_key").alias("dst"))
+    return e1.unionByName(e2).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).dropDuplicates(["src", "dst"])
+
+
+def canonical_mapping(
+    mapping: DataFrame,
+    sameas_records: DataFrame,
+) -> DataFrame:
+    """Final raw_key -> component-canonical key.
+
+    Runs connected components over the same-as graph, then composes:
+    raw_key -> (linking canonical) -> (component canonical). Keys that are
+    in no component keep their linking-canonical key.
+    """
+    edges = build_sameas_edges(mapping, sameas_records)
+    canon_keys = (mapping.filter(F.col("method") == "exact")
+                  .select(F.col("canonical_key").alias("key")).distinct())
+    comps = connected_components(edges, canon_keys=canon_keys)
+    return (
+        mapping.join(
+            comps.select(F.col("member_key").alias("canonical_key"),
+                         F.col("canonical_key").alias("component_key")),
+            on="canonical_key", how="left")
+        .select(
+            "raw_key",
+            F.coalesce(F.col("component_key"), F.col("canonical_key"))
+             .alias("canonical_key"),
+            "method",
+        )
+    )

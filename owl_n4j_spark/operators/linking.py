@@ -1,0 +1,135 @@
+"""Stage 4 — entity linking: raw mention keys -> canonical keys.
+
+Reference lifecycle (/root/reference/ingestion/scripts/entity_resolution.py:54-135):
+exact key match -> fuzzy candidate search (case-insensitive token CONTAINS,
+LIMIT 5 — neo4j_client.py:188-255) -> type check -> LLM disambiguation.
+
+Spark-first re-expression:
+  (a) exact:  broadcast hash join mention.raw_key = alias_dict.alias
+  (b) fuzzy:  blocked candidate join — block on the first key token so the
+      candidate set is bounded (the reference's CONTAINS scan is O(n) per
+      mention; blocking makes it an equi-join) — then a JVM-side levenshtein
+      ratio as the deterministic disambiguation scorer (the reference's
+      SequenceMatcher >= 0.88 / LLM yes-no, re-derived as
+      1 - lev/len >= threshold), top-1 per mention by (score desc, key asc)
+  (c) anti-join against rejected pairs (U4 —
+      backend/services/rejected_pairs_service.py) so human-rejected merges
+      are never re-suggested.
+
+Unresolved mentions keep their raw key (the reference creates a new node
+when resolution fails — ingestion.py:511-586).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FUZZY_THRESHOLD = 0.84  # levenshtein-ratio analog of SequenceMatcher>=0.88
+
+
+def _block_token(col):
+    """Blocking key: first hyphen token of the normalised key."""
+    return F.split(col, "-").getItem(0)
+
+
+def build_key_mapping(
+    mention_keys: DataFrame,
+    alias_dict: DataFrame | None,
+    rejected_pairs: DataFrame | None = None,
+    fuzzy_threshold: float = FUZZY_THRESHOLD,
+) -> DataFrame:
+    """Resolve distinct raw keys against the alias dictionary.
+
+    mention_keys: DataFrame(raw_key string, mention_type string) — distinct.
+    alias_dict:   DataFrame(alias, canonical_key, entity_type) or None.
+    rejected_pairs: DataFrame(key_a, key_b) — pairs a human rejected.
+
+    Returns DataFrame(raw_key, canonical_key, method) where method in
+    ('exact','fuzzy','self').
+    """
+    mention_keys = mention_keys.dropDuplicates(["raw_key"])
+    if alias_dict is None:
+        return mention_keys.select(
+            "raw_key", F.col("raw_key").alias("canonical_key"),
+            F.lit("self").alias("method"))
+
+    aliases = alias_dict.select(
+        F.col("alias"), F.col("canonical_key"), F.col("entity_type"))
+
+    # (a) exact — broadcast: the dictionary is the small side by design
+    exact = (
+        mention_keys.join(F.broadcast(aliases),
+                          mention_keys["raw_key"] == aliases["alias"], "left")
+        .select("raw_key", "mention_type",
+                F.col("canonical_key").alias("exact_canonical"))
+    )
+    resolved = exact.filter(F.col("exact_canonical").isNotNull()).select(
+        "raw_key", F.col("exact_canonical").alias("canonical_key"),
+        F.lit("exact").alias("method"))
+    unresolved = exact.filter(F.col("exact_canonical").isNull()) \
+                      .select("raw_key", "mention_type")
+
+    # (b) fuzzy — blocked candidate join + levenshtein-ratio disambiguation.
+    # Only name-shaped keys participate (phone-/email-/app keys are exact
+    # identities; fuzzy-matching them would create false merges).
+    fuzzy_src = unresolved.filter(
+        ~F.col("raw_key").startswith("phone-")
+        & ~F.col("raw_key").startswith("email-")
+        & ~F.col("raw_key").startswith("chat-")
+        & F.col("raw_key").contains("-")
+    ).withColumn("block", _block_token(F.col("raw_key")))
+
+    cand = (
+        aliases.filter(~F.col("alias").startswith("phone-")
+                       & ~F.col("alias").startswith("email-"))
+        .withColumn("block", _block_token(F.col("alias")))
+    )
+    pairs = (
+        fuzzy_src.join(F.broadcast(cand), on="block")
+        .filter((F.col("mention_type").isNull())
+                | (F.col("mention_type") == F.col("entity_type")))
+        .withColumn(
+            "score",
+            1.0 - F.levenshtein("raw_key", "alias")
+            / F.greatest(F.length("raw_key"), F.length("alias")),
+        )
+        .filter(F.col("score") >= F.lit(fuzzy_threshold))
+    )
+    if rejected_pairs is not None:
+        rej = rejected_pairs.select(
+            F.col("key_a").alias("raw_key"), F.col("key_b").alias("canonical_key"))
+        pairs = pairs.join(F.broadcast(rej), ["raw_key", "canonical_key"], "left_anti")
+
+    w = Window.partitionBy("raw_key").orderBy(
+        F.desc("score"), F.asc("canonical_key"))
+    fuzzy = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("raw_key", "canonical_key", F.lit("fuzzy").alias("method"))
+    )
+
+    # (c) everything else maps to itself (new entity)
+    selfmap = (
+        unresolved.join(fuzzy.select("raw_key"), "raw_key", "left_anti")
+        .select("raw_key", F.col("raw_key").alias("canonical_key"),
+                F.lit("self").alias("method"))
+    )
+    return resolved.unionByName(fuzzy).unionByName(selfmap)
+
+
+def remap_keys(df: DataFrame, mapping: DataFrame, cols: list[str]) -> DataFrame:
+    """Replace each key column with its canonical form via broadcast joins
+    (the mapping is distinct raw keys — orders of magnitude smaller than the
+    triple stream, so this never shuffles the big side)."""
+    out = df
+    for c in cols:
+        m = mapping.select(F.col("raw_key").alias(c),
+                           F.col("canonical_key").alias(f"__canon_{c}"))
+        out = (
+            out.join(F.broadcast(m), on=c, how="left")
+            .withColumn(c, F.coalesce(F.col(f"__canon_{c}"), F.col(c)))
+            .drop(f"__canon_{c}")
+        )
+    return out

@@ -1,0 +1,175 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §7 stage order).
+
+transcripts -> normalize -> extract -> link -> canonicalize -> materialize
+
+Each stage is a DataFrame -> DataFrame transform. With a ``warehouse`` path,
+every stage's output is committed to parquet and the run RESUMES from the
+last committed stage (_SUCCESS marker = the snapshot; the Iceberg analog is
+the table snapshot id) — re-running after a crash recomputes nothing that
+already committed, mirroring the reference's resumable background tasks
+(/root/reference/ingestion/scripts/cellebrite/ingestion.py:219-241) with
+deterministic outputs instead of progress bookkeeping.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from owl_n4j_spark.manifest import ManifestWriter, stage_is_committed
+from owl_n4j_spark.operators.canonicalize import canonical_mapping
+from owl_n4j_spark.operators.extraction import extract_records
+from owl_n4j_spark.operators.linking import build_key_mapping, remap_keys
+from owl_n4j_spark.operators.materialize import (
+    build_edges,
+    build_nodes,
+    enforce_referential,
+)
+
+
+def normalize_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Stage 1 — clean + dedup + stable order guarantee.
+
+    - drop rows without a thread identity or position (quarantine-counted)
+    - exact-duplicate turn rows (re-ingest artifacts) -> one survivor,
+      deterministically (W7: row_number over the dedup key;
+      ref _dedup_comms_items, neo4j_service.py:169-194)
+
+    Stable per-thread order is (conv_id, turn_idx) BY CONTRACT — downstream
+    consumers use Window.partitionBy(conv_id).orderBy(turn_idx) and never
+    rely on physical row order.
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("role").asc_nulls_last(),
+        F.col("text").asc_nulls_last())
+    return (
+        transcripts.filter(F.col("conv_id").isNotNull()
+                           & F.col("turn_idx").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+class PipelineResult(dict):
+    """Dict of stage DataFrames: transcripts, records, mapping, triples,
+    mentions, nodes, edges, manifest."""
+    __getattr__ = dict.__getitem__
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame | None = None,
+    rejected_pairs: DataFrame | None = None,
+    case_id: str = "case-001",
+    warehouse: str | None = None,
+    resume: bool = True,
+    with_manifest: bool = True,
+    gazetteer: list[str] | None = None,
+) -> PipelineResult:
+    mw = ManifestWriter(spark, path=os.path.join(warehouse, "manifest")
+                        if warehouse else None)
+
+    def staged(name: str, df_fn) -> DataFrame:
+        """Compute-or-resume one stage through the warehouse."""
+        if warehouse is None:
+            return df_fn()
+        path = os.path.join(warehouse, name)
+        if resume and stage_is_committed(path):
+            return spark.read.parquet(path)
+        df = df_fn()
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # ---- stage 1: normalize ------------------------------------------------
+    clean = staged("t01_normalized", lambda: normalize_transcripts(transcripts))
+
+    # ---- stage 2/3: extraction --------------------------------------------
+    records = staged("t02_records", lambda: extract_records(clean, gazetteer))
+    mentions_raw = records.filter(F.col("kind") == "mention")
+    triples_raw = records.filter(F.col("kind") == "triple")
+    sameas_raw = records.filter(F.col("kind") == "sameas")
+
+    # ---- stage 4: linking ----------------------------------------------
+    def _mapping():
+        mention_keys = (
+            mentions_raw.select(F.col("mention_key").alias("raw_key"),
+                                "mention_type")
+            .unionByName(sameas_raw.select(F.col("subj_key").alias("raw_key"),
+                                           F.lit(None).cast("string")
+                                           .alias("mention_type")))
+            .unionByName(sameas_raw.select(F.col("obj_key").alias("raw_key"),
+                                           F.lit(None).cast("string")
+                                           .alias("mention_type")))
+            .filter(F.col("raw_key").isNotNull())
+            .dropDuplicates(["raw_key"])
+        )
+        link_map = build_key_mapping(mention_keys, alias_dict, rejected_pairs)
+        # ---- stage 5: canonicalize (CC over the same-as graph) ----------
+        return canonical_mapping(link_map, sameas_raw)
+
+    final_mapping = staged("t03_mapping", _mapping)
+
+    # ---- remap to canonical keys ----------------------------------------
+    mentions = staged(
+        "t04_mentions",
+        lambda: remap_keys(mentions_raw, final_mapping, ["mention_key"]))
+
+    def _triples():
+        linked = remap_keys(triples_raw, final_mapping,
+                            ["subj_key", "obj_key"])
+        base = linked.select("subj_key", "pred", "obj_key", "conv_id",
+                             "turn_idx", "ts", "amount", "date") \
+                     .dropDuplicates(["subj_key", "pred", "obj_key",
+                                      "conv_id", "turn_idx"])
+        # first-appearance PARTICIPATED_IN per canonical speaker per thread
+        participated = (
+            base.filter(F.col("pred") == "SENT_MESSAGE")
+            .groupBy("conv_id", "subj_key", "obj_key")
+            .agg(F.min("turn_idx").alias("turn_idx"), F.min("ts").alias("ts"))
+            .select("subj_key", F.lit("PARTICIPATED_IN").alias("pred"),
+                    "obj_key", "conv_id", "turn_idx", "ts",
+                    F.lit(None).cast("string").alias("amount"),
+                    F.lit(None).cast("string").alias("date"))
+        )
+        return base.unionByName(participated)
+
+    triples = staged("t05_triples", _triples)
+
+    # ---- stage 6: materialize -------------------------------------------
+    nodes = staged("t06_nodes", lambda: build_nodes(mentions, final_mapping,
+                                                    case_id))
+    def _edges():
+        e = build_edges(triples, case_id)
+        valid, n_quar = enforce_referential(e, nodes)
+        if with_manifest:
+            mw.record("edges_referential", in_rows=n_quar + valid.count(),
+                      out_df=None, out_rows=valid.count(),
+                      quarantined=n_quar, per_partition=False)
+        return valid
+
+    edges = staged("t07_edges", _edges)
+
+    if with_manifest:
+        n_in = transcripts.count()
+        n_clean = clean.count()
+        mw.record("normalize", in_rows=n_in, out_df=clean,
+                  quarantined=n_in - n_clean)
+        mw.record("extract", in_rows=n_clean, out_df=records)
+        mw.record("link_canonicalize", in_rows=final_mapping.count(),
+                  out_df=final_mapping)
+        mw.record("triples", in_rows=records.count(), out_df=triples)
+        mw.record("materialize_nodes", in_rows=mentions.count(), out_df=nodes)
+        manifest = mw.flush()
+    else:
+        manifest = mw.to_df()
+
+    return PipelineResult(
+        transcripts=clean, records=records, mapping=final_mapping,
+        mentions=mentions, triples=triples, nodes=nodes, edges=edges,
+        manifest=manifest,
+    )

@@ -1,0 +1,26 @@
+"""Query plans over the driver's parquet tables.
+
+Each entry in REGISTRY maps a SURVEY.md §2 operator to:
+  - a Spark implementation (spark, sf_dir) -> DataFrame
+  - an equivalent DuckDB oracle SQL string (None for non-SQL-expressible
+    ops, which the driver then checks rows-only)
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash comparison holds):
+  - every aggregate/computed column is aliased identically on both sides
+  - double aggregations are rounded at a granularity where the true value
+    sits on a decimal grid far from the rounding boundary (sums of 2-dec
+    money -> round 2; 2-dec x 2-dec products -> round 4; ratios -> round 6)
+  - floor()/counts are cast to BIGINT on both sides
+  - dates/timestamps in group keys are emitted as strings
+  - every LIMIT is preceded by a total order with a unique tie-break key
+"""
+
+from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
+from owl_n4j_spark.plans.textops import TEXTOPS_REGISTRY
+from owl_n4j_spark.plans.kg import KG_REGISTRY
+
+REGISTRY: dict = {}
+REGISTRY.update(RELATIONAL_REGISTRY)
+REGISTRY.update(TEXTOPS_REGISTRY)
+REGISTRY.update(KG_REGISTRY)
