@@ -1,0 +1,84 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline KG-construction pipeline end-to-end over transcripts
+derived from the $SPARK_GRAFT_SF_DIR events table, plus every oracle-checked
+query, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "kg_turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from owl_n4j_spark.pipeline import run_pipeline
+from owl_n4j_spark.plans import REGISTRY
+from owl_n4j_spark.session import get_spark
+from owl_n4j_spark.sources import events_transcripts as et
+
+
+def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
+    """Headline: transcripts -> extract -> link -> canonicalize ->
+    materialize, cold (no warehouse reuse)."""
+    transcripts = et.transcripts_from_events(spark, sf_dir)
+    alias_dict = et.alias_dict_df(spark)
+    n_turns = transcripts.count()
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, alias_dict=alias_dict,
+                       with_manifest=False)
+    counts = {
+        "triples": res["triples"].count(),
+        "nodes": res["nodes"].count(),
+        "edges": res["edges"].count(),
+    }
+    dt = time.time() - t0
+    return dt, {"n_turns": n_turns, "turns_per_sec": round(n_turns / dt, 1),
+                **counts}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", app_name="owl-n4j-bench",
+                      shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    t = time.time()
+    kg_sec, kg_stats = bench_kg_pipeline(spark, sf_dir)
+    queries["kg_pipeline"] = round(kg_sec, 3)
+
+    for name, (fn, _sql) in REGISTRY.items():
+        t = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        queries[name] = round(time.time() - t, 3)
+
+    total = round(time.time() - t_all, 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "kg_pipeline_and_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "kg_turns_per_sec": kg_stats["turns_per_sec"],
+        "kg_n_turns": kg_stats["n_turns"],
+        "kg_triples": kg_stats["triples"],
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

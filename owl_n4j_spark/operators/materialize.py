@@ -136,14 +136,18 @@ def build_edges(triples: DataFrame, case_id: str) -> DataFrame:
     )
 
 
-def enforce_referential(edges: DataFrame, nodes: DataFrame):
+def enforce_referential(edges: DataFrame, nodes: DataFrame,
+                        count_drops: bool = True):
     """Keep only edges whose both endpoints exist (J5). Returns
-    (valid_edges, n_quarantined)."""
+    (valid_edges, n_quarantined); with ``count_drops=False`` skips the two
+    count actions (quarantine accounting is manifest-only)."""
     keys = nodes.select(F.col("key"))
     valid = (
         edges.join(keys.withColumnRenamed("key", "src_key"), "src_key", "leftsemi")
         .join(keys.withColumnRenamed("key", "dst_key"), "dst_key", "leftsemi")
     )
+    if not count_drops:
+        return valid, 0
     n_all = edges.count()
     n_valid = valid.count()
     return valid, n_all - n_valid

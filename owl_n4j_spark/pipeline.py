@@ -75,9 +75,18 @@ def run_pipeline(
                         if warehouse else None)
 
     def staged(name: str, df_fn) -> DataFrame:
-        """Compute-or-resume one stage through the warehouse."""
+        """Compute-or-resume one stage through the warehouse.
+
+        Without a warehouse the stage output is localCheckpoint-ed: this both
+        computes the stage exactly once AND truncates the logical plan at the
+        stage boundary. The truncation is load-bearing — each stage's plan
+        references the previous stages several times (remaps, semi-joins), so
+        without a leaf node at every boundary the composed logical plan grows
+        exponentially and Catalyst analysis time dominates execution (measured
+        ~10s planning per action at sf0.01). The warehouse path gets the same
+        truncation for free from the parquet round-trip."""
         if warehouse is None:
-            return df_fn()
+            return df_fn().localCheckpoint(eager=True)
         path = os.path.join(warehouse, name)
         if resume and stage_is_committed(path):
             return spark.read.parquet(path)
@@ -145,11 +154,13 @@ def run_pipeline(
                                                     case_id))
     def _edges():
         e = build_edges(triples, case_id)
-        valid, n_quar = enforce_referential(e, nodes)
         if with_manifest:
+            valid, n_quar = enforce_referential(e, nodes)
             mw.record("edges_referential", in_rows=n_quar + valid.count(),
                       out_df=None, out_rows=valid.count(),
                       quarantined=n_quar, per_partition=False)
+        else:
+            valid, _ = enforce_referential(e, nodes, count_drops=False)
         return valid
 
     edges = staged("t07_edges", _edges)

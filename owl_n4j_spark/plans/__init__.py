@@ -14,13 +14,14 @@ value-hash comparison holds):
   - floor()/counts are cast to BIGINT on both sides
   - dates/timestamps in group keys are emitted as strings
   - every LIMIT is preceded by a total order with a unique tie-break key
+  - hash functions are md5 (identical bytes in Spark and DuckDB)
 """
 
+from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
-from owl_n4j_spark.plans.textops import TEXTOPS_REGISTRY
-from owl_n4j_spark.plans.kg import KG_REGISTRY
+from owl_n4j_spark.plans.text import TEXT_REGISTRY
 
 REGISTRY: dict = {}
 REGISTRY.update(RELATIONAL_REGISTRY)
-REGISTRY.update(TEXTOPS_REGISTRY)
-REGISTRY.update(KG_REGISTRY)
+REGISTRY.update(TEXT_REGISTRY)
+REGISTRY.update(GRAPH_REGISTRY)

@@ -1,0 +1,228 @@
+"""Graph-analytics operators (SURVEY.md §2.10) over a deterministic
+co-presence graph derived from the ``events`` table.
+
+The reference serves PageRank / communities / betweenness / k-hop /
+connected-components over the case graph by pulling edges into Python
+(`/root/reference/backend/services/neo4j_service.py:1461-2092`). Here every
+algorithm is a distributed DataFrame computation; the co-presence edge set
+(users active in the same hour bucket >= EDGE_MIN_HOURS times — SURVEY J7's
+time leg) is the graph, so every query is reproducible from the driver
+tables and has an exact DuckDB oracle (iterative PageRank = a generated
+10-iteration CTE chain; connected components = a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from owl_n4j_spark.operators.canonicalize import connected_components
+from owl_n4j_spark.plans.relational import load
+
+EDGE_MIN_HOURS = 10
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected unique edges (a < b): user pairs sharing >= EDGE_MIN_HOURS
+    hour buckets. Bucket equi-join bounds the pair blowup (J7)."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(F.date_format("ts", "yyyy-MM-dd HH").alias("h"),
+                  "user_id").distinct()
+    y = m.select(F.col("h"), F.col("user_id").alias("user_b"))
+    return (
+        m.join(y, on="h")
+        .filter(F.col("user_id") < F.col("user_b"))
+        .groupBy(F.col("user_id").alias("a"), F.col("user_b").alias("b"))
+        .agg(F.count("*").alias("n_hours"))
+        .filter(F.col("n_hours") >= EDGE_MIN_HOURS)
+        .select("a", "b")
+    )
+
+
+_DUCK_EDGES_CTE = f"""
+m AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h, user_id FROM events),
+e AS (
+  SELECT x.user_id AS a, y.user_id AS b
+  FROM m x JOIN m y ON x.h = y.h AND x.user_id < y.user_id
+  GROUP BY a, b
+  HAVING COUNT(*) >= {EDGE_MIN_HOURS}
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+verts AS (SELECT DISTINCT a AS v FROM sym)
+"""
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree per vertex (SURVEY G8 / A5 denormalized counts)."""
+    sym = _sym(copresence_edges(spark, sf_dir))
+    return (
+        sym.groupBy(F.col("a").alias("user_id"))
+        .agg(F.count("*").alias("degree"))
+        .orderBy("user_id")
+    )
+
+
+SQL_GRAPH_DEGREE = f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT a AS user_id, COUNT(*) AS degree
+FROM sym GROUP BY a ORDER BY user_id
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count — each triangle a<b<c counted once. The scale
+    shape: two self-joins on the (a<b)-oriented edge list; degree-ordered
+    orientation keeps the join fan-out bounded on skewed graphs."""
+    e = copresence_edges(spark, sf_dir)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y").join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT COUNT(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+N_SEED_USERS = 10
+
+
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighbourhood size (SURVEY G1): distinct vertices within 2 hops
+    of each seed (user_id < N_SEED_USERS), excluding the seed."""
+    sym = _sym(copresence_edges(spark, sf_dir))
+    h1 = (sym.filter(F.col("a") < N_SEED_USERS)
+          .select(F.col("a").alias("seed"), F.col("b").alias("v")))
+    h2 = (h1.join(sym.withColumnRenamed("a", "v"), on="v")
+          .select("seed", F.col("b").alias("v")))
+    return (
+        h1.unionByName(h2)
+        .filter(F.col("seed") != F.col("v"))
+        .dropDuplicates(["seed", "v"])
+        .groupBy(F.col("seed").alias("user_id"))
+        .agg(F.count("*").alias("n_2hop"))
+        .orderBy("user_id")
+    )
+
+
+SQL_GRAPH_2HOP = f"""
+WITH {_DUCK_EDGES_CTE},
+h1 AS (SELECT a AS seed, b AS v FROM sym WHERE a < {N_SEED_USERS}),
+h2 AS (SELECT h1.seed, s.b AS v FROM h1 JOIN sym s ON s.a = h1.v),
+reach AS (SELECT DISTINCT seed, v FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+          WHERE seed != v)
+SELECT seed AS user_id, COUNT(*) AS n_2hop
+FROM reach GROUP BY seed ORDER BY user_id
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, PR_ITERS fixed iterations, d = PR_DAMPING (SURVEY G3 — the
+    reference runs 20 Python-dict iterations; here each iteration is one
+    shuffle-on-vertex join + algebraic sum, AQE-coalesced).
+
+    The symmetric graph has no dangling vertices, so mass is conserved
+    without a dangling-redistribution term."""
+    sym = _sym(copresence_edges(spark, sf_dir)).cache()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    n_v = deg.count()
+    ranks = deg.select(F.col("a").alias("v"),
+                       (F.lit(1.0) / F.lit(float(n_v))).alias("r"))
+    out = sym.join(deg, "a")
+    for _ in range(PR_ITERS):
+        contrib = (
+            out.join(ranks.withColumnRenamed("v", "a"), "a")
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("in_r"))
+        )
+        ranks = contrib.select(
+            "v",
+            (F.lit((1.0 - PR_DAMPING) / n_v)
+             + F.lit(PR_DAMPING) * F.col("in_r")).alias("r"),
+        ).localCheckpoint(eager=False)
+    return (
+        ranks.select(F.col("v").alias("user_id"),
+                     F.round("r", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+def _pagerank_sql() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT s.b AS v,
+         (1.0 - {PR_DAMPING}) / (SELECT n FROM nv)
+           + {PR_DAMPING} * SUM(p.r / d.deg) AS r
+  FROM sym s JOIN {prev} p ON p.v = s.a JOIN deg d ON d.v = s.a
+  GROUP BY s.b
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+nv AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+{','.join(iters)}
+SELECT v AS user_id, round(r, 6) AS pagerank
+FROM {prev}
+ORDER BY pagerank DESC, user_id
+LIMIT 25
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (SURVEY G6) — REUSES the canonicalization
+    engine's salted hash-min CC (operators/canonicalize.py) on the
+    co-presence graph; the oracle is an exact recursive-CTE reachability
+    closure. Vertex ids are zero-padded so string-min == numeric-min."""
+    e = copresence_edges(spark, sf_dir)
+    pad = lambda c: F.format_string("u%05d", F.col(c))
+    comps = connected_components(
+        e.select(pad("a").alias("src"), pad("b").alias("dst")))
+    return (
+        comps.groupBy(F.col("canonical_key").alias("component"))
+        .agg(F.count("*").alias("size"))
+        .orderBy("component")
+    )
+
+
+SQL_GRAPH_CC = f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+reach(u, v) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.u, s.b FROM reach r JOIN sym s ON s.a = r.v
+),
+comp AS (SELECT u, printf('u%05d', MIN(v)) AS component FROM reach GROUP BY u)
+SELECT component, COUNT(*) AS size
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+GRAPH_REGISTRY = {
+    "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
+    "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),
+    "q_pagerank": (q_pagerank, SQL_PAGERANK),
+    "q_graph_cc": (q_graph_cc, SQL_GRAPH_CC),
+}

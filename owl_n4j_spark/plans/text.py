@@ -1,0 +1,547 @@
+"""Text-analysis / deduplication / similarity operators over the
+``documents`` and ``embeddings`` tables — the training-data-pipeline surface.
+
+Reference analogs: chunk/text processing (`/root/reference/ingestion/scripts/
+chunking.py`), embedding + vector search (`/root/reference/backend/services/
+vector_db_service.py`, `embedding_service.py`), pairwise similarity self-join
+(`/root/reference/backend/services/neo4j_service.py:2226-2327`). The dedup /
+MinHash / SimHash / ANN operators are the scale-path versions a 100 TB
+training-data pipeline needs: everything is expressed as declarative
+DataFrame plans (explode → equi-join → aggregate) so Catalyst handles
+pushdown and AQE handles skew; no Python in the hot path.
+
+Every operator here has an exact DuckDB oracle: hash functions are md5 (same
+bytes in both engines), floats are accumulated in double and rounded, and
+shingle/token constructions are index-for-index identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from owl_n4j_spark.plans.relational import load
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens_col():
+    """Whitespace tokenization — identical in Spark and DuckDB."""
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) — SURVEY training-data ops
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens and a BPE-ish regex
+    token stream (letter runs / digit runs / single symbols)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens_col()).alias("n_ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+             .cast("bigint").alias("n_re_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean token length, length-capped
+    score — the heuristic quality filters of a pretraining data pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tok = F.size(toks).cast("double")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        rf"size(filter(split(trim(text), '\\s+'), x -> x IN ({stop_in})))"
+    ).cast("double")
+    mean_tok_len = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+             + F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0)))
+    return (
+        docs.select(
+            "doc_id",
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(mean_tok_len, 6).alias("mean_tok_len"),
+            F.round(score, 6).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_QUALITY = rf"""
+SELECT doc_id,
+       round(n_stop / n_tok, 6) AS stop_ratio,
+       round(length(regexp_replace(text, '\s+', '', 'g')) / n_tok, 6) AS mean_tok_len,
+       round(0.5 * (1.0 - n_stop / n_tok) + 0.5 * least(n_tok / 100.0, 1.0), 6) AS quality_score
+FROM (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (n-gram/stopword evidence) vs the labeled lang
+    column — confusion counts. Deterministic rule: presence of English
+    function words -> 'en', else 'unk' (the corpus is word-soup; the point
+    is the plumbing: per-doc vectorized scoring + grouped confusion)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = rf"split(trim(text), '\\s+')"
+    pred = F.when(
+        F.expr(rf"size(filter({toks}, x -> x IN ('the', 'a', 'is', 'on')))") >= 2,
+        F.lit("en"),
+    ).otherwise(F.lit("unk"))
+    return (
+        docs.select(F.col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+SQL_LANG_ID = r"""
+SELECT lang,
+       CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x IN ('the', 'a', 'is', 'on'))) >= 2
+            THEN 'en' ELSE 'unk' END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting + exact dedup
+# ---------------------------------------------------------------------------
+
+def _fingerprint_col():
+    """md5 of the whitespace-normalized lowercased text — the deterministic
+    document fingerprint (same bytes in Spark and DuckDB)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _fingerprint_col().alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep min(doc_id) as the
+    canonical survivor. The 100 TB shape: one shuffle on an md5 key (uniform
+    by construction — no skew), map-side partial agg."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _fingerprint_col().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_copies"))
+        .orderBy("fingerprint")
+    )
+
+
+SQL_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling + n-gram Jaccard + MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+# Word-trigram shingles, constructed index-for-index identically:
+# Spark arrays are 0-based (seq 0 .. len-3), DuckDB lists 1-based (range 1 .. len-2).
+_SPARK_SHINGLES = (
+    "transform(sequence(0, size(__w) - 3), "
+    "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))"
+)
+_DUCK_SHINGLES = (
+    "list_transform(range(1, len(__w) - 1), "
+    "i -> __w[i] || ' ' || __w[i+1] || ' ' || __w[i+2])"
+)
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct — needs >= 3 tokens per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("__w", _tokens_col())
+        .filter(F.size("__w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+_DUCK_SHINGLES_CTE = rf"""
+shingled AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS __w
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM shingled
+)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-trigram Jaccard >= 0.2.
+
+    Scale shape: explode shingles -> equi-join on shingle (bounded by shingle
+    frequency; a stop-shingle cap would go here at 100 TB) -> group by pair.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = rf"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, common,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+N_MINHASH = 8
+LSH_ROWS_PER_BAND = 2  # 8 hashes -> 4 bands
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs.
+
+    shingle -> K md5-permutation minima per doc -> band signatures (K/R
+    bands of R mins each) -> bucket equi-join on (band, signature) -> pair
+    candidate count. This is the scalable near-dup join: cost is bounded by
+    bucket sizes, never all-pairs. md5(k || '|' || shingle) is the k-th
+    "permutation" — identical bytes in both engines.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    minh = (
+        sh.select("doc_id", "shingle",
+                  F.explode(F.expr(f"sequence(0, {N_MINHASH - 1})")).alias("k"))
+        .withColumn("h", F.md5(F.concat_ws("|", F.col("k"), F.col("shingle"))))
+        .groupBy("doc_id", "k").agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        minh.withColumn("band", (F.col("k") / LSH_ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("k"), F.col("minh"))))).alias("sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = rf"""
+WITH {_DUCK_SHINGLES_CTE},
+minh AS (
+  SELECT doc_id, k, MIN(md5(k || '|' || shingle)) AS minh
+  FROM sh, range({N_MINHASH}) r(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {LSH_ROWS_PER_BAND} AS INT) AS band,
+         string_agg(k || ':' || minh, ',' ORDER BY k || ':' || minh) AS sig
+  FROM minh
+  GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                         AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+SIMHASH_BITS = 32
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash as a bitstring.
+
+    bit i = majority over distinct tokens of (low bit of hex digit i of
+    md5(token)). Pure column expressions — one explode + one groupBy with 32
+    algebraic aggregates; whole-stage codegen end to end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+        .dropDuplicates(["doc_id", "tok"])
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(SIMHASH_BITS):
+        aggs.append(F.sum(
+            F.when(F.expr(f"substring(h, {i + 1}, 1) IN {_ODD_HEX}"), 1)
+            .otherwise(0)).alias(f"b{i}"))
+    agg = tok.groupBy("doc_id").agg(*aggs)
+    bit_cols = [F.when(F.col(f"b{i}") * 2 >= F.col("n"), F.lit("1"))
+                .otherwise(F.lit("0")) for i in range(SIMHASH_BITS)]
+    return (
+        agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN substring(h, {i + 1}, 1) IN {_ODD_HEX} THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(SIMHASH_BITS))
+    bits = " || ".join(
+        f"CASE WHEN b{i} * 2 >= n THEN '1' ELSE '0' END"
+        for i in range(SIMHASH_BITS))
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash
+FROM agg ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k + sign-LSH bucketed ANN
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+              "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+_DUCK_DOT = ("list_sum(list_transform(range(1, len({a}) + 1), "
+             "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+N_KNN_QUERIES = 10
+KNN_K = 3
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): queries = vec_id <
+    N_KNN_QUERIES, candidates = everything else. Scale shape: broadcast the
+    (small) query set against the (huge) candidate table, partial top-k per
+    partition via window over candidate partitions — here expressed as the
+    declarative window; AQE handles the rest."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_KNN_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"))
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_SPARK_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_SPARK_DOT.format(a="ce", b="ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", dot / (qn * cn))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("qid", "rank", "nid", F.round("cos", 4).alias("cosine"))
+        .orderBy("qid", "rank")
+    )
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_KNN_QUERIES}),
+c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         {_DUCK_DOT.format(a='qe', b='ce')}
+           / (sqrt({_DUCK_DOT.format(a='qe', b='qe')})
+              * sqrt({_DUCK_DOT.format(a='ce', b='ce')})) AS cos
+  FROM q, c WHERE qid != nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY qid, rank
+"""
+
+LSH_SIGN_DIMS = 8
+N_ANN_QUERIES = 20
+
+
+def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path for q_knn_bruteforce):
+    bucket = sign bits of the first 8 dims (axis-aligned random-hyperplane
+    LSH); candidates probe only their own bucket. At 100 TB the bucket is
+    the shuffle key — the all-pairs cross join never materializes."""
+    emb = load(spark, sf_dir, "embeddings")
+    sign_bits = F.concat(*[
+        F.when(F.expr(f"CAST(embedding[{i}] AS DOUBLE)") >= 0, F.lit("1"))
+        .otherwise(F.lit("0")) for i in range(LSH_SIGN_DIMS)])
+    b = emb.select("vec_id", "embedding", sign_bits.alias("bucket"))
+    q = (b.filter(F.col("vec_id") < N_ANN_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 "bucket"))
+    c = b.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"),
+                 "bucket")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_SPARK_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_SPARK_DOT.format(a="ce", b="ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        q.join(c, on="bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", dot / (qn * cn))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("qid", "nid", F.round("cos", 4).alias("cosine"))
+        .orderBy("qid")
+    )
+
+
+def _ann_sql() -> str:
+    bucket = " || ".join(
+        f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+        for i in range(LSH_SIGN_DIMS))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b
+      WHERE vec_id < {N_ANN_QUERIES}),
+c AS (SELECT vec_id AS nid, embedding AS ce, bucket FROM b),
+scored AS (
+  SELECT qid, nid,
+         {_DUCK_DOT.format(a='qe', b='ce')}
+           / (sqrt({_DUCK_DOT.format(a='qe', b='qe')})
+              * sqrt({_DUCK_DOT.format(a='ce', b='ce')})) AS cos
+  FROM q JOIN c USING (bucket) WHERE qid != nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, round(cos, 4) AS cosine
+FROM ranked WHERE rank = 1
+ORDER BY qid
+"""
+
+
+SQL_ANN_SIGNLSH = _ann_sql()
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (the IVF build step): dim-wise mean. posexplode
+    keeps it one shuffle on (label, dim) — algebraic, map-side combined."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.sum(F.col("val").cast("double"))
+                     / F.count("*"), 6).alias("centroid_val"),
+             F.count("*").alias("n_vecs"))
+        .orderBy("label", "dim")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, i - 1 AS dim,
+       round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM embeddings, range(1, 65) r(i)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+TEXT_REGISTRY = {
+    "q_doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "q_simhash": (q_simhash, SQL_SIMHASH),
+    "q_knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "q_ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
+    "q_embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+}
