@@ -14,7 +14,6 @@
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,27 +21,15 @@ from pyspark.sql import functions as F
 
 from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
+from owl_n4j_spark.plans.kg_analytics import KG_ANALYTICS_REGISTRY, kg_result
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
 from owl_n4j_spark.plans.text import TEXT_REGISTRY
 from owl_n4j_spark.sources import events_transcripts as et
 
-# ---------------------------------------------------------------------------
-# KG pipeline over events-derived transcripts (shared across the kg_* queries
-# via a parquet warehouse keyed by pid+sf so the pipeline runs once per sf)
-# ---------------------------------------------------------------------------
-
-_KG_CACHE: dict[str, dict] = {}
-
-
-def _kg_result(spark: SparkSession, sf_dir: str) -> dict:
-    if sf_dir not in _KG_CACHE:
-        transcripts = et.transcripts_from_events(spark, sf_dir)
-        alias_dict = et.alias_dict_df(spark)
-        wh = f"/tmp/owl_kg_wh_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
-        _KG_CACHE[sf_dir] = run_pipeline(
-            spark, transcripts, alias_dict=alias_dict, warehouse=wh,
-            with_manifest=True)
-    return _KG_CACHE[sf_dir]
+# KG pipeline over events-derived transcripts: shared across all kg_*
+# queries via plans/kg_analytics.kg_result (parquet-warehouse cache keyed by
+# pid+sf so the pipeline runs once per sf).
+_kg_result = kg_result
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = fn
     for name, (fn, _) in GRAPH_REGISTRY.items():
         q[name] = fn
+    for name, (fn, _) in KG_ANALYTICS_REGISTRY.items():
+        q[name] = fn
     return q
 
 
@@ -135,5 +124,7 @@ def oracle_sql() -> dict[str, str]:
     for name, (_, sql) in TEXT_REGISTRY.items():
         o[name] = sql
     for name, (_, sql) in GRAPH_REGISTRY.items():
+        o[name] = sql
+    for name, (_, sql) in KG_ANALYTICS_REGISTRY.items():
         o[name] = sql
     return o

@@ -231,16 +231,11 @@ def _extract_turn(conv_id, turn_idx, role, text, tool, ts, gazetteer, out):
         return
 
 
-def extract_records(transcripts: DataFrame,
-                    gazetteer: list[str] | None = None) -> DataFrame:
-    """transcripts -> long-format extraction records (Arrow-batched).
-
-    Output kinds: ``mention`` (entity occurrences), ``triple`` (candidate
-    relationships with RAW keys), ``sameas`` (identity signals feeding
-    canonicalization). Plus per-conversation ``Communication`` thread
-    mentions and first-appearance PARTICIPATED_IN triples derived
-    relationally below (not in Python).
-    """
+def extract_records_stateless(transcripts: DataFrame,
+                              gazetteer: list[str] | None = None) -> DataFrame:
+    """The stateless per-turn half of extraction: one Arrow-batched
+    ``mapInPandas`` pass, no aggregation — safe inside a streaming query
+    (owl_n4j_spark/streaming/incremental.py) as well as batch."""
     from owl_n4j_spark.synth import CITIES
     gaz = frozenset(gazetteer or CITIES)
 
@@ -266,7 +261,20 @@ def extract_records(transcripts: DataFrame,
             o["turn_idx"] = o["turn_idx"].astype("int32")
             yield o
 
-    recs = transcripts.mapInPandas(run, schema=EXTRACTION_SCHEMA)
+    return transcripts.mapInPandas(run, schema=EXTRACTION_SCHEMA)
+
+
+def extract_records(transcripts: DataFrame,
+                    gazetteer: list[str] | None = None) -> DataFrame:
+    """transcripts -> long-format extraction records (Arrow-batched).
+
+    Output kinds: ``mention`` (entity occurrences), ``triple`` (candidate
+    relationships with RAW keys), ``sameas`` (identity signals feeding
+    canonicalization). Plus per-conversation ``Communication`` thread
+    mentions and first-appearance PARTICIPATED_IN triples derived
+    relationally below (not in Python).
+    """
+    recs = extract_records_stateless(transcripts, gazetteer)
 
     # Thread (Communication) mentions — pure relational, no Python
     # (ref: chat handler neo4j_writer.py:1507-1567). PARTICIPATED_IN is

@@ -117,7 +117,12 @@ def run_pipeline(
             .filter(F.col("raw_key").isNotNull())
             .dropDuplicates(["raw_key"])
         )
-        link_map = build_key_mapping(mention_keys, alias_dict, rejected_pairs)
+        # checkpoint: the mapping is small (distinct raw keys) but its plan
+        # scans all records + the fuzzy join; canonical_mapping consumes it
+        # three times (edge build, canon-key election, final compose) — an
+        # uncached plan recomputes the full linking join per consumer.
+        link_map = build_key_mapping(mention_keys, alias_dict,
+                                     rejected_pairs).localCheckpoint(eager=True)
         # ---- stage 5: canonicalize (CC over the same-as graph) ----------
         return canonical_mapping(link_map, sameas_raw)
 

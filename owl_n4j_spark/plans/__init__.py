@@ -18,6 +18,7 @@ value-hash comparison holds):
 """
 
 from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
+from owl_n4j_spark.plans.kg_analytics import KG_ANALYTICS_REGISTRY
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
 from owl_n4j_spark.plans.text import TEXT_REGISTRY
 
@@ -25,3 +26,4 @@ REGISTRY: dict = {}
 REGISTRY.update(RELATIONAL_REGISTRY)
 REGISTRY.update(TEXT_REGISTRY)
 REGISTRY.update(GRAPH_REGISTRY)
+REGISTRY.update(KG_ANALYTICS_REGISTRY)

@@ -1,0 +1,227 @@
+"""Analytics serving layer over the materialized KG (SURVEY.md §2 / §3.3).
+
+The reference serves these from Neo4j per-request (graph summary
+`backend/services/neo4j_service.py:886-948`, thread aggregation `:8444-8950`,
+timeline `:1178-1357`, top-N by degree `:427-470`). Here each is a
+DataFrame query over the pipeline's output tables (triples/nodes/edges built
+from the events-derived transcripts — sources/events_transcripts.py), so
+each has an exact DuckDB oracle composed from the same relational
+derivation of the expected pipeline output.
+
+The pipeline runs ONCE per sf_dir (parquet-warehouse cache) and every query
+here reads its committed outputs — the precompute-then-serve shape the
+reference arrived at operationally (denormalized counts,
+`scripts/backfill_person_comm_counts.py`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from owl_n4j_spark.pipeline import run_pipeline
+from owl_n4j_spark.sources import events_transcripts as et
+from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
+
+_KG_CACHE: dict[str, dict] = {}
+
+
+def kg_result(spark: SparkSession, sf_dir: str) -> dict:
+    """Full pipeline over events-derived transcripts, cached per sf via a
+    parquet warehouse (stage outputs committed once, reused across queries
+    and across the kg_* driver entries)."""
+    if sf_dir not in _KG_CACHE:
+        transcripts = et.transcripts_from_events(spark, sf_dir)
+        alias_dict = et.alias_dict_df(spark)
+        wh = f"/tmp/owl_kg_wh_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
+        _KG_CACHE[sf_dir] = run_pipeline(
+            spark, transcripts, alias_dict=alias_dict, warehouse=wh,
+            with_manifest=True)
+    return _KG_CACHE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# A1 — graph summary: node count per type, edge count per rel type
+# ---------------------------------------------------------------------------
+
+
+def kg_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kg_result(spark, sf_dir)
+    n = (res["nodes"].groupBy(F.col("type").alias("label"))
+         .agg(F.count("*").alias("n"))
+         .withColumn("side", F.lit("node")))
+    e = (res["edges"].groupBy(F.col("rel_type").alias("label"))
+         .agg(F.count("*").alias("n"))
+         .withColumn("side", F.lit("edge")))
+    return n.unionByName(e).select("side", "label", "n").orderBy("side", "label")
+
+
+SQL_KG_GRAPH_SUMMARY = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+nodes AS (
+  SELECT DISTINCT key, type FROM (
+    SELECT spk AS key, 'Person' AS type FROM t
+    UNION ALL SELECT oth, 'Person' FROM t WHERE event_type IN ('purchase','view')
+    UNION ALL SELECT {et._city_key_case()}, 'Location' FROM t WHERE event_type = 'click'
+    UNION ALL SELECT {et._org_key_case()}, 'Company' FROM t WHERE event_type = 'signup'
+    UNION ALL SELECT chat, 'Communication' FROM t
+  )
+),
+edges AS (SELECT DISTINCT subj_key, pred, obj_key FROM triples)
+SELECT 'node' AS side, type AS label, COUNT(*) AS n FROM nodes GROUP BY type
+UNION ALL
+SELECT 'edge', pred, COUNT(*) FROM edges GROUP BY pred
+ORDER BY side, label
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — thread aggregation over the triple stream
+# ---------------------------------------------------------------------------
+
+
+def kg_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kg_result(spark, sf_dir)
+    tr = res["triples"]
+    return (
+        tr.groupBy("conv_id")
+        .agg(
+            F.sum(F.when(F.col("pred") == "SENT_MESSAGE", 1).otherwise(0))
+             .cast("bigint").alias("n_messages"),
+            F.count("*").alias("n_triples"),
+            F.countDistinct("pred").alias("n_preds"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+SQL_KG_THREAD_STATS = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS}
+SELECT conv_id,
+       CAST(SUM(CASE WHEN pred = 'SENT_MESSAGE' THEN 1 ELSE 0 END) AS BIGINT) AS n_messages,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT pred) AS n_preds,
+       MIN(turn_idx) AS first_turn,
+       MAX(turn_idx) AS last_turn
+FROM triples
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3/T4 — top-N by degree over the materialized edges
+# ---------------------------------------------------------------------------
+
+TOP_DEGREE_N = 20
+
+
+def kg_degree_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kg_result(spark, sf_dir)
+    e = res["edges"]
+    deg = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .groupBy("key").agg(F.count("*").alias("degree"))
+    )
+    w = Window.orderBy(F.desc("degree"), F.asc("key"))
+    return (
+        deg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_DEGREE_N)
+        .select("rank", "key", "degree")
+        .orderBy("rank")
+    )
+
+
+SQL_KG_DEGREE_TOPN = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+edges AS (SELECT DISTINCT subj_key, pred, obj_key FROM triples),
+deg AS (
+  SELECT key, COUNT(*) AS degree FROM (
+    SELECT subj_key AS key FROM edges
+    UNION ALL SELECT obj_key FROM edges
+  ) GROUP BY key
+),
+ranked AS (
+  SELECT key, degree,
+         row_number() OVER (ORDER BY degree DESC, key) AS rank
+  FROM deg
+)
+SELECT rank, key, degree FROM ranked WHERE rank <= {TOP_DEGREE_N}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1/W2 — keyset-paged timeline over the triple stream
+# ---------------------------------------------------------------------------
+
+TIMELINE_PAGE_N = 200
+
+
+def kg_timeline_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological page under the stable order (conv_id, turn_idx) with a
+    unique tuple tie-break — the reference's keyset pagination
+    (neo4j_service.py:1240-1283) without the per-request cursor latency."""
+    res = kg_result(spark, sf_dir)
+    return (
+        res["triples"]
+        .select("conv_id", "turn_idx", "subj_key", "pred", "obj_key")
+        .orderBy("conv_id", "turn_idx", "pred", "subj_key", "obj_key")
+        .limit(TIMELINE_PAGE_N)
+    )
+
+
+SQL_KG_TIMELINE_PAGE = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS}
+SELECT conv_id, turn_idx, subj_key, pred, obj_key
+FROM triples
+ORDER BY conv_id, turn_idx, pred, subj_key, obj_key
+LIMIT {TIMELINE_PAGE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — activity envelope histogram (per-day triple counts by pred)
+# ---------------------------------------------------------------------------
+
+
+def kg_envelope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kg_result(spark, sf_dir)
+    return (
+        res["triples"]
+        .filter(F.col("pred") != "PARTICIPATED_IN")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("day", "pred")
+    )
+
+
+SQL_KG_ENVELOPE_DAILY = f"""
+WITH {_BASE_CTE},
+legs AS (
+  SELECT ts, 'SENT_MESSAGE' AS pred FROM t
+  UNION ALL SELECT ts, 'PAID' FROM t WHERE event_type = 'purchase'
+  UNION ALL SELECT ts, 'TRAVELED_TO' FROM t WHERE event_type = 'click'
+  UNION ALL SELECT ts, 'WORKS_FOR' FROM t WHERE event_type = 'signup'
+  UNION ALL SELECT ts, 'CALLED' FROM t WHERE event_type = 'view'
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day, pred, COUNT(*) AS n
+FROM legs
+GROUP BY day, pred
+ORDER BY day, pred
+"""
+
+
+KG_ANALYTICS_REGISTRY = {
+    "kg_graph_summary": (kg_graph_summary, SQL_KG_GRAPH_SUMMARY),
+    "kg_thread_stats": (kg_thread_stats, SQL_KG_THREAD_STATS),
+    "kg_degree_topn": (kg_degree_topn, SQL_KG_DEGREE_TOPN),
+    "kg_timeline_page": (kg_timeline_page, SQL_KG_TIMELINE_PAGE),
+    "kg_envelope_daily": (kg_envelope_daily, SQL_KG_ENVELOPE_DAILY),
+}
