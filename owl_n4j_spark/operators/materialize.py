@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # _is_real_name as a column predicate
 # (ref: neo4j_writer.py:211-236 — rejects bare numbers, JIDs, phone-format
@@ -51,27 +50,31 @@ def build_nodes(mentions: DataFrame, final_mapping: DataFrame,
     """
     m = mentions.filter(F.col("mention_key").isNotNull())
 
-    # type election: count per (key, type), rank
-    type_w = Window.partitionBy("mention_key").orderBy(
-        F.desc("cnt"), F.asc("mention_type"))
+    # type election: argmax(count) with min-type tie-break, expressed as
+    # min(struct(-cnt, type)) — algebraic, map-side combinable (no window
+    # sort; at scale a window here is a full sort of every mention group,
+    # the agg is two partial-combine shuffles)
     types = (
         m.groupBy("mention_key", "mention_type").agg(F.count("*").alias("cnt"))
-        .withColumn("rn", F.row_number().over(type_w)).filter("rn = 1")
-        .select("mention_key", F.col("mention_type").alias("type"))
+        .groupBy("mention_key")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                            F.col("mention_type").alias("v"))).alias("e"))
+        .select("mention_key", F.col("e.v").alias("type"))
     )
 
-    # primary-name election among real-name surfaces
-    name_w = Window.partitionBy("mention_key").orderBy(
-        F.desc("cnt"), F.asc("surface"))
-    names = (
+    # primary-name election among real-name surfaces — same argmax shape
+    name_counts = (
         m.filter(is_real_name_col(F.col("surface")))
         .groupBy("mention_key", "surface").agg(F.count("*").alias("cnt"))
-        .withColumn("rn", F.row_number().over(name_w))
     )
-    primary = names.filter("rn = 1").select(
-        "mention_key", F.col("surface").alias("name"))
+    primary = (
+        name_counts.groupBy("mention_key")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                            F.col("surface").alias("v"))).alias("e"))
+        .select("mention_key", F.col("e.v").alias("name"))
+    )
     aliases = (
-        names.groupBy("mention_key")
+        name_counts.groupBy("mention_key")
         .agg(F.sort_array(F.collect_set("surface")).alias("name_aliases"))
     )
 

@@ -17,7 +17,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from owl_n4j_spark.manifest import ManifestWriter, stage_is_committed
 from owl_n4j_spark.operators.canonicalize import canonical_mapping
@@ -35,22 +34,25 @@ def normalize_transcripts(transcripts: DataFrame) -> DataFrame:
 
     - drop rows without a thread identity or position (quarantine-counted)
     - exact-duplicate turn rows (re-ingest artifacts) -> one survivor,
-      deterministically (W7: row_number over the dedup key;
-      ref _dedup_comms_items, neo4j_service.py:169-194)
+      deterministically: min(struct(ts, role, text, tool)) per
+      (conv_id, turn_idx) (W7; ref _dedup_comms_items,
+      neo4j_service.py:169-194). The struct-min aggregation is algebraic
+      and map-side combinable — at scale it replaces a full
+      sort-every-partition window with a hash aggregation whose shuffle
+      volume shrinks with the duplicate rate.
 
     Stable per-thread order is (conv_id, turn_idx) BY CONTRACT — downstream
     consumers use Window.partitionBy(conv_id).orderBy(turn_idx) and never
     rely on physical row order.
     """
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("role").asc_nulls_last(),
-        F.col("text").asc_nulls_last())
     return (
         transcripts.filter(F.col("conv_id").isNotNull()
                            & F.col("turn_idx").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.min(F.struct("ts", "role", "text", "tool")).alias("__r"))
+        .select("conv_id", "turn_idx", F.col("__r.role").alias("role"),
+                F.col("__r.text").alias("text"), F.col("__r.tool").alias("tool"),
+                F.col("__r.ts").alias("ts"))
     )
 
 

@@ -219,7 +219,54 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+BFS_MAX_DEPTH = 8
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop-counts (SURVEY G2) from the minimum vertex
+    via iterative frontier expansion — each round one equi-join of the
+    frontier against the adjacency list, new vertices only (visited
+    anti-join), bounded depth. Oracle: recursive-CTE min-distance closure."""
+    sym = _sym(copresence_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    seed = sym.agg(F.min("a")).collect()[0][0]
+    dist = (sym.select(F.col("a").alias("v")).dropDuplicates()
+            .filter(F.col("v") == seed)
+            .withColumn("d", F.lit(0)))
+    frontier = dist
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("a", "v"), on="v")
+            .select(F.col("b").alias("v")).dropDuplicates()
+            .join(dist.select("v"), on="v", how="left_anti")
+            .withColumn("d", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (dist.select(F.col("v").alias("user_id"),
+                        F.col("d").cast("bigint").alias("dist"))
+            .orderBy("user_id"))
+
+
+SQL_GRAPH_SHORTEST_PATHS = f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+seed AS (SELECT MIN(a) AS s FROM sym),
+walk(v, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT sym.b, walk.d + 1
+  FROM walk JOIN sym ON sym.a = walk.v
+  WHERE walk.d < {BFS_MAX_DEPTH}
+)
+SELECT v AS user_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY v ORDER BY user_id
+"""
+
+
 GRAPH_REGISTRY = {
+    "q_graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
     "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
     "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),

@@ -218,7 +218,52 @@ ORDER BY day, pred
 """
 
 
+# ---------------------------------------------------------------------------
+# J6/W4 — as-of join: last known location per speaker at each message
+# ---------------------------------------------------------------------------
+
+
+def kg_last_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backfill over the KG triple stream (the reference's ±15-min
+    nearest-location pass, cellebrite/ingestion.py:793-974): each
+    SENT_MESSAGE turn picks the speaker's most recent TRAVELED_TO location
+    at-or-before that turn. Union + last(ignorenulls) window — the scalable
+    as-of strategy (one shuffle on conv_id; no per-row probes)."""
+    res = kg_result(spark, sf_dir)
+    tr = res["triples"]
+    ev = tr.filter(F.col("pred").isin("SENT_MESSAGE", "TRAVELED_TO"))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx", "pred")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_loc = F.last(
+        F.when(F.col("pred") == "TRAVELED_TO", F.col("obj_key")),
+        ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_location", last_loc)
+        .filter(F.col("pred") == "SENT_MESSAGE")
+        .select("conv_id", "turn_idx", F.col("subj_key").alias("speaker"),
+                "last_location")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+SQL_KG_LAST_LOCATION = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+ev AS (
+  SELECT conv_id, turn_idx, pred, subj_key, obj_key,
+         last_value(CASE WHEN pred = 'TRAVELED_TO' THEN obj_key END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx, pred
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_location
+  FROM triples
+  WHERE pred IN ('SENT_MESSAGE', 'TRAVELED_TO')
+)
+SELECT conv_id, turn_idx, subj_key AS speaker, last_location
+FROM ev WHERE pred = 'SENT_MESSAGE'
+ORDER BY conv_id, turn_idx
+"""
+
+
 KG_ANALYTICS_REGISTRY = {
+    "kg_last_location": (kg_last_location, SQL_KG_LAST_LOCATION),
     "kg_graph_summary": (kg_graph_summary, SQL_KG_GRAPH_SUMMARY),
     "kg_thread_stats": (kg_thread_stats, SQL_KG_THREAD_STATS),
     "kg_degree_topn": (kg_degree_topn, SQL_KG_DEGREE_TOPN),
