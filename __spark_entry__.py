@@ -119,12 +119,9 @@ def oracle_sql() -> dict[str, str]:
         # kg_triples_synth: intentionally no oracle (non-SQL linking over
         # synthetic fuzz); covered by pytest P/R gate instead.
     }
-    for name, (_, sql) in RELATIONAL_REGISTRY.items():
-        o[name] = sql
-    for name, (_, sql) in TEXT_REGISTRY.items():
-        o[name] = sql
-    for name, (_, sql) in GRAPH_REGISTRY.items():
-        o[name] = sql
-    for name, (_, sql) in KG_ANALYTICS_REGISTRY.items():
-        o[name] = sql
+    for reg in (RELATIONAL_REGISTRY, TEXT_REGISTRY, GRAPH_REGISTRY,
+                KG_ANALYTICS_REGISTRY):
+        for name, (_, sql) in reg.items():
+            if sql is not None:
+                o[name] = sql
     return o

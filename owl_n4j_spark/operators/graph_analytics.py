@@ -1,0 +1,131 @@
+"""Distributed graph analytics: label propagation (communities) and
+sampled-source Brandes betweenness.
+
+The reference implements Louvain and betweenness as in-Python loops over the
+whole edge list pulled out of Neo4j (/root/reference/backend/services/
+neo4j_service.py:1641-1885 Louvain, :1886-2092 Brandes BFS) — single-machine,
+memory-bound at case scale. Here both are DataFrame iterations:
+
+- LPA: synchronous label propagation; each round one join + one
+  argmax-by-count aggregation (struct-min, map-side combinable, salted by
+  AQE). Deterministic: ties break to the smaller label, fixed round count.
+  Stands in for Louvain exactly as the reference's own docs suggest for
+  semantic-zoom super-nodes (docs/PERFORMANCE_OPTIMIZATION_REPORT.md §2).
+- Betweenness: Brandes = per-source BFS with path counting + backward
+  dependency accumulation. Exact all-sources is O(V·E); the scale path is
+  source sampling (standard Brandes-subset estimator). Each source's BFS
+  and back-propagation are frontier joins — never a driver-side adjacency
+  dict — so one source costs O(diameter) shuffles regardless of graph size,
+  and sampled sources run from the same checkpointed adjacency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"),
+                                  F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """edges(src, dst) undirected -> (vertex, community).
+
+    Synchronous LPA, ``max_iter`` fixed rounds (deterministic output):
+    every vertex adopts the most frequent label among its neighbours,
+    ties to the smallest label.
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("v")).dropDuplicates()
+              .withColumn("lbl", F.col("v")))
+    for _ in range(max_iter):
+        counts = (
+            sym.join(labels.withColumnRenamed("v", "a"), on="a")
+            .groupBy(F.col("b").alias("v"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("lbl").alias("l"))).alias("e"))
+            .select("v", F.col("e.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("v").alias("vertex"),
+                         F.col("lbl").alias("community"))
+
+
+def betweenness_sampled(edges: DataFrame, sources: list,
+                        max_depth: int = 12) -> DataFrame:
+    """edges(src, dst) undirected + explicit source set -> (vertex, score).
+
+    Brandes dependency accumulation restricted to ``sources`` (exact when
+    sources = all vertices). Per source: forward BFS computing sigma (number
+    of shortest paths) level by level, then backward accumulation
+    delta[v] = sum over successors w of sigma_v/sigma_w * (1 + delta[w]).
+    Endpoints excluded, undirected halving applied.
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    total = None
+
+    for s in sources:
+        # ---- forward: levels with path counts --------------------------
+        levels = [spark.createDataFrame([(s, 1.0)], "v string, sigma double")
+                  if dict(edges.dtypes).get("src") == "string"
+                  else spark.createDataFrame([(int(s), 1.0)], "v long, sigma double")]
+        seen = levels[0].select("v")
+        for _ in range(max_depth):
+            nxt = (
+                levels[-1].join(sym.withColumnRenamed("a", "v"), on="v")
+                .groupBy(F.col("b").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(seen, on="v", how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            seen = seen.unionByName(nxt.select("v")).localCheckpoint(eager=True)
+
+        # ---- backward: dependency accumulation -------------------------
+        delta = None  # (v, delta)
+        for d in range(len(levels) - 1, 0, -1):
+            lower = levels[d]
+            if delta is not None:
+                lower = (
+                    lower.join(delta, on="v", how="left")
+                    .fillna(0.0, subset=["delta"])
+                )
+            else:
+                lower = lower.withColumn("delta", F.lit(0.0))
+            upper = levels[d - 1].withColumnRenamed("sigma", "sigma_up")
+            contrib = (
+                lower.join(sym.withColumnRenamed("a", "v"), on="v")
+                .join(upper.withColumnRenamed("v", "b"), on="b")
+                .withColumn("c", F.col("sigma_up") / F.col("sigma")
+                            * (F.lit(1.0) + F.col("delta")))
+                .groupBy(F.col("b").alias("v"))
+                .agg(F.sum("c").alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            delta = contrib
+            if d > 1:
+                # accumulate scores for interior vertices of this level
+                part = levels[d - 1].select("v").join(contrib, on="v")
+                total = part if total is None else (
+                    total.unionByName(part).groupBy("v")
+                    .agg(F.sum("delta").alias("delta"))
+                    .localCheckpoint(eager=True))
+
+    if total is None:
+        return spark.createDataFrame([], "vertex string, score double")
+    return total.select(F.col("v").alias("vertex"),
+                        (F.col("delta") / 2.0).alias("score"))

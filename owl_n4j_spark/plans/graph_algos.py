@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from owl_n4j_spark.operators.canonicalize import connected_components
+from owl_n4j_spark.operators.graph_analytics import (
+    betweenness_sampled,
+    label_propagation,
+)
 from owl_n4j_spark.plans.relational import load
 
 EDGE_MIN_HOURS = 10
@@ -265,8 +269,41 @@ FROM walk GROUP BY v ORDER BY user_id
 """
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes by label propagation (SURVEY G4 — the reference's
+    Louvain use case: semantic-zoom super-nodes). Deterministic fixed-round
+    LPA; no SQL oracle (iterative argmax not SQL-expressible) — algorithm
+    correctness pinned by tests/test_graph_analytics.py fixtures."""
+    e = copresence_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
+    return (
+        label_propagation(e, max_iter=4)
+        .groupBy("community").agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (SURVEY G5), top-15. Sources =
+    first 6 vertices — deterministic sample. Rows-only driver check;
+    exactness pinned by path/star fixtures in tests."""
+    e = copresence_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
+    verts = [r["src"] for r in
+             e.select("src").unionByName(e.select(F.col("dst").alias("src")))
+             .dropDuplicates().orderBy("src").limit(6).collect()]
+    return (
+        betweenness_sampled(e, sources=verts)
+        .select("vertex", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vertex"))
+        .limit(15)
+    )
+
+
 GRAPH_REGISTRY = {
     "q_graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
+    "q_lpa_communities": (q_lpa_communities, None),
+    "q_betweenness": (q_betweenness, None),
     "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
     "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),

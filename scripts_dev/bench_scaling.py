@@ -30,7 +30,7 @@ sys.path.insert(0, "/root/repo")
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 N_LO = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 N_HI = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-DATA = "/tmp/owl_scaling_transcripts"
+DATA = f"/tmp/owl_scaling_transcripts_{N_CONVS}"
 PARTITIONS = 256  # >> threads at both levels: short tail waves, even feeding
 
 

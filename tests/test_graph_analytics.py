@@ -1,0 +1,52 @@
+"""LPA communities and sampled Brandes betweenness on fixtures with known
+ground truth."""
+
+from owl_n4j_spark.operators.graph_analytics import (
+    betweenness_sampled,
+    label_propagation,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(str(a), str(b)) for a, b in pairs],
+                                 "src string, dst string")
+
+
+def test_lpa_disconnected_components(spark):
+    """Two disconnected triangles -> two uniform communities."""
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    comm = {r["vertex"]: r["community"]
+            for r in label_propagation(e, max_iter=4).collect()}
+    assert comm["1"] == comm["2"] == comm["3"]
+    assert comm["4"] == comm["5"] == comm["6"]
+    assert comm["1"] != comm["4"]
+
+
+def test_lpa_deterministic(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)])
+    a = sorted(map(tuple, label_propagation(e, max_iter=5).collect()))
+    b = sorted(map(tuple, label_propagation(e, max_iter=5).collect()))
+    assert a == b
+
+
+def test_betweenness_path_graph(spark):
+    """Path a-b-c-d-e, all sources: exact betweenness b=3, c=4, d=3,
+    endpoints 0 (standard unordered-pair counts)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    scores = {r["vertex"]: r["score"]
+              for r in betweenness_sampled(
+                  e, sources=["a", "b", "c", "d", "e"]).collect()}
+    assert abs(scores["c"] - 4.0) < 1e-9
+    assert abs(scores["b"] - 3.0) < 1e-9
+    assert abs(scores["d"] - 3.0) < 1e-9
+    assert "a" not in scores or abs(scores.get("a", 0.0)) < 1e-9
+
+
+def test_betweenness_star_center(spark):
+    """Star: center carries all pairwise shortest paths. For k=4 leaves:
+    center betweenness = C(4,2) = 6."""
+    e = _edges(spark, [("c", "l1"), ("c", "l2"), ("c", "l3"), ("c", "l4")])
+    scores = {r["vertex"]: r["score"]
+              for r in betweenness_sampled(
+                  e, sources=["c", "l1", "l2", "l3", "l4"]).collect()}
+    assert abs(scores["c"] - 6.0) < 1e-9
