@@ -262,7 +262,60 @@ ORDER BY conv_id, turn_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# L3 — deterministic per-entity summary (groupBy → applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def kg_entity_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference generates per-entity LLM summaries from its facts +
+    neighbours (llm_client.py:699-777). Deterministic re-expression: group
+    every triple of a Person entity and render a template summary in one
+    ``groupBy().applyInPandas`` pass — the grouped-UDAF surface the L-ops
+    use, with an exact string oracle."""
+    import pandas as pd
+
+    res = kg_result(spark, sf_dir)
+    person = res["triples"].filter(F.col("subj_key").startswith("phone-"))
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["subj_key"].iloc[0]
+        n_msgs = int((pdf["pred"] == "SENT_MESSAGE").sum())
+        n_paid = int((pdf["pred"] == "PAID").sum())
+        cities = sorted(set(pdf.loc[pdf["pred"] == "TRAVELED_TO", "obj_key"]))
+        summary = (f"{key}: {n_msgs} messages, {n_paid} payments, "
+                   f"visited {','.join(cities) if cities else 'nowhere'}")
+        return pd.DataFrame({"key": [key], "summary": [summary]})
+
+    return (
+        person.groupBy("subj_key")
+        .applyInPandas(render, schema="key string, summary string")
+        .orderBy("key")
+    )
+
+
+SQL_KG_ENTITY_SUMMARIES = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+agg AS (
+  SELECT subj_key AS key,
+         SUM(CASE WHEN pred = 'SENT_MESSAGE' THEN 1 ELSE 0 END) AS n_msgs,
+         SUM(CASE WHEN pred = 'PAID' THEN 1 ELSE 0 END) AS n_paid,
+         string_agg(DISTINCT CASE WHEN pred = 'TRAVELED_TO' THEN obj_key END,
+                    ',' ORDER BY CASE WHEN pred = 'TRAVELED_TO' THEN obj_key END)
+           AS cities
+  FROM triples
+  WHERE subj_key LIKE 'phone-%'
+  GROUP BY subj_key
+)
+SELECT key,
+       key || ': ' || n_msgs || ' messages, ' || n_paid || ' payments, visited '
+           || coalesce(cities, 'nowhere') AS summary
+FROM agg ORDER BY key
+"""
+
+
 KG_ANALYTICS_REGISTRY = {
+    "kg_entity_summaries": (kg_entity_summaries, SQL_KG_ENTITY_SUMMARIES),
     "kg_last_location": (kg_last_location, SQL_KG_LAST_LOCATION),
     "kg_graph_summary": (kg_graph_summary, SQL_KG_GRAPH_SUMMARY),
     "kg_thread_stats": (kg_thread_stats, SQL_KG_THREAD_STATS),
