@@ -93,6 +93,9 @@ _CC_ORDER = sorted(_CC_LENGTHS, key=len, reverse=True)
 _ALPHA_RE = re.compile(r"[a-zA-Z]")
 _PHONE_JUNK_RE = re.compile(r"[\s().\-]")
 _JID_RE = re.compile(r"^\+?(\d{7,15})@(?:s\.whatsapp\.net|c\.us)$", re.IGNORECASE)
+# chat-service domains are NEVER emails — an invalid-number JID must not
+# fall through to the email branch of the cascade (property-test regression)
+_CHAT_DOMAIN_RE = re.compile(r"@(?:s\.whatsapp\.net|c\.us|g\.us)$", re.IGNORECASE)
 
 
 def _nanp_valid(national: str) -> bool:
@@ -186,7 +189,8 @@ def person_key(
     if k:
         return k
 
-    if identifier and "@" in identifier and "." in identifier:
+    if (identifier and "@" in identifier and "." in identifier
+            and not _CHAT_DOMAIN_RE.search(identifier)):
         return f"email-{identifier.lower().strip()}"
 
     if identifier and source_app:

@@ -101,21 +101,34 @@ def build_sameas_edges(
     mapping: DataFrame,
     sameas_records: DataFrame,
 ) -> DataFrame:
-    """Assemble the same-entity edge set (SURVEY.md G6).
+    """Assemble the same-entity edge set (SURVEY.md G6) at the CANONICAL
+    level: extracted SAME_AS evidence with both endpoints remapped through
+    the linking dictionary.
 
-    mapping:        (raw_key, canonical_key, method) from linking — every
-                    non-self resolution is a same-as edge.
-    sameas_records: extraction records with kind='sameas'
-                    (subj_key, obj_key raw) — remapped by caller or raw.
+    Raw->canonical linking pairs are NOT edges here — raw keys reach their
+    component through the mapping compose in ``canonical_mapping``, so
+    including them would only inflate the CC vertex set by every linked raw
+    key (measured ~5x at bench scale) without changing connectivity between
+    canonical identities. Canonical-key election is unaffected: linked raw
+    keys carry the non-canonical priority bit and can never win over their
+    canonical, so restricting the electorate to canonicals elects the same
+    winner.
+
+    mapping:        (raw_key, canonical_key, method) from linking.
+    sameas_records: extraction records with kind='sameas' (raw keys).
     """
-    e1 = (
-        mapping.filter(F.col("method") != "self")
-        .select(F.col("raw_key").alias("src"), F.col("canonical_key").alias("dst"))
-    )
-    e2 = sameas_records.select(F.col("subj_key").alias("src"),
-                               F.col("obj_key").alias("dst"))
-    return e1.unionByName(e2).filter(
+    m = mapping.select("raw_key", "canonical_key")
+    e = sameas_records.select(F.col("subj_key").alias("src"),
+                              F.col("obj_key").alias("dst"))
+    for c in ("src", "dst"):
+        mc = m.select(F.col("raw_key").alias(c),
+                      F.col("canonical_key").alias(f"__c_{c}"))
+        e = (e.join(F.broadcast(mc), on=c, how="left")
+             .withColumn(c, F.coalesce(F.col(f"__c_{c}"), F.col(c)))
+             .drop(f"__c_{c}"))
+    return e.filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
     ).dropDuplicates(["src", "dst"])
 
 

@@ -314,7 +314,76 @@ FROM agg ORDER BY key
 """
 
 
+# ---------------------------------------------------------------------------
+# S7/S8 + A9 — broadcast geocoding + 2-D spatial tile aggregation
+# ---------------------------------------------------------------------------
+
+# Deterministic coordinate gazetteer for the synthetic city universe — the
+# Spark shape of the reference's geocode cache (geocoding.py:17-27): a
+# precomputed broadcast lookup, never per-row HTTP.
+from owl_n4j_spark.synth import CITIES as _CITIES
+from owl_n4j_spark.functions.keys import normalise_key as _nk
+
+CITY_COORDS = {
+    _nk(c): (round(-60.0 + (i * 7.3) % 120, 4),    # lat
+             round(-180.0 + (i * 31.7) % 360, 4))  # lon
+    for i, c in enumerate(_CITIES)
+}
+TILE_DEG = 10.0
+
+
+def kg_location_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geocode Location nodes via broadcast gazetteer join, then tile-bin
+    (floor(lat/c), floor(lon/c)) with count + centroid (SURVEY A9 —
+    neo4j_service.py:11174-11289). Weight = TRAVELED_TO edge weight so the
+    tiles reflect activity volume, not node count."""
+    res = kg_result(spark, sf_dir)
+    geo = spark.createDataFrame(
+        [(k, lat, lon) for k, (lat, lon) in sorted(CITY_COORDS.items())],
+        "key string, lat double, lon double")
+    visits = (res["edges"].filter(F.col("rel_type") == "TRAVELED_TO")
+              .select(F.col("dst_key").alias("key"), "weight"))
+    return (
+        visits.join(F.broadcast(geo), "key")
+        .groupBy(
+            F.floor(F.col("lat") / TILE_DEG).cast("bigint").alias("tile_lat"),
+            F.floor(F.col("lon") / TILE_DEG).cast("bigint").alias("tile_lon"))
+        .agg(F.sum("weight").alias("n_visits"),
+             F.round(F.sum(F.col("lat") * F.col("weight")) / F.sum("weight"), 6)
+              .alias("centroid_lat"),
+             F.round(F.sum(F.col("lon") * F.col("weight")) / F.sum("weight"), 6)
+              .alias("centroid_lon"))
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+def _sql_kg_location_tiles() -> str:
+    rows = ", ".join(f"('{k}', {lat}, {lon})"
+                     for k, (lat, lon) in sorted(CITY_COORDS.items()))
+    return f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+geo(key, lat, lon) AS (VALUES {rows}),
+visits AS (
+  SELECT obj_key AS key, COUNT(*) AS weight
+  FROM triples WHERE pred = 'TRAVELED_TO'
+  GROUP BY subj_key, obj_key
+)
+SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
+       CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
+       SUM(weight) AS n_visits,
+       round(SUM(lat * weight) / SUM(weight), 6) AS centroid_lat,
+       round(SUM(lon * weight) / SUM(weight), 6) AS centroid_lon
+FROM visits JOIN geo USING (key)
+GROUP BY tile_lat, tile_lon
+ORDER BY tile_lat, tile_lon
+"""
+
+
+SQL_KG_LOCATION_TILES = _sql_kg_location_tiles()
+
+
 KG_ANALYTICS_REGISTRY = {
+    "kg_location_tiles": (kg_location_tiles, SQL_KG_LOCATION_TILES),
     "kg_entity_summaries": (kg_entity_summaries, SQL_KG_ENTITY_SUMMARIES),
     "kg_last_location": (kg_last_location, SQL_KG_LAST_LOCATION),
     "kg_graph_summary": (kg_graph_summary, SQL_KG_GRAPH_SUMMARY),
