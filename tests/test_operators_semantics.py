@@ -1,0 +1,77 @@
+"""Semantics the reference pins operationally: owner inference (A3),
+re-ingest idempotency (MERGE semantics, K2), rejected-pairs anti-join (U4)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from owl_n4j_spark.operators.linking import build_key_mapping
+from owl_n4j_spark.operators.owner import infer_owners
+from owl_n4j_spark.pipeline import run_pipeline
+from owl_n4j_spark.synth import generate_corpus_pandas
+
+
+def _tx(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"]))
+
+
+def test_owner_inference_argmax_and_tiebreak(spark):
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        # conv A: +12025550123 twice (once as JID), +13015550199 once
+        ("A", 0, "12025550123@s.whatsapp.net", "hi", None, ts),
+        ("A", 1, "+13015550199", "yo", None, ts),
+        ("A", 2, "(202) 555-0123", "ok", None, ts),
+        ("A", 3, "John Smith", "name only - not phone-resolvable", None, ts),
+        # conv B: exact tie -> lexicographically smaller E.164 wins
+        ("B", 0, "+12025550123", "x", None, ts),
+        ("B", 1, "+13015550199", "y", None, ts),
+        # conv C: nothing phone-resolvable -> absent from output
+        ("C", 0, "alice", "z", None, ts),
+    ]
+    got = {r["conv_id"]: r["owner_e164"]
+           for r in infer_owners(_tx(spark, rows)).collect()}
+    assert got == {"A": "+12025550123", "B": "+12025550123"}
+
+
+def test_reingest_idempotency(spark):
+    """Feeding the pipeline the corpus UNION a re-ingested copy must produce
+    byte-identical nodes/edges (the reference's MERGE-on-(case_id,key)
+    semantics, neo4j_writer.py:1123-1134)."""
+    corpus = generate_corpus_pandas(25, seed=3)
+    tr = corpus["transcripts"]
+    once = spark.createDataFrame(tr)
+    twice = spark.createDataFrame(pd.concat([tr, tr.iloc[: len(tr) // 2]]))
+    ad = spark.createDataFrame(corpus["alias_dict"])
+    r1 = run_pipeline(spark, once, alias_dict=ad, with_manifest=False)
+    r2 = run_pipeline(spark, twice, alias_dict=ad, with_manifest=False)
+    n1 = sorted(map(tuple, r1["nodes"].select("node_id", "key", "type").collect()))
+    n2 = sorted(map(tuple, r2["nodes"].select("node_id", "key", "type").collect()))
+    assert n1 == n2
+    e1 = sorted(map(tuple, r1["edges"].select("src_key", "dst_key", "rel_type",
+                                              "weight").collect()))
+    e2 = sorted(map(tuple, r2["edges"].select("src_key", "dst_key", "rel_type",
+                                              "weight").collect()))
+    assert e1 == e2
+
+
+def test_rejected_pairs_suppress_fuzzy(spark):
+    """A human-rejected merge pair must never be re-suggested (U4 —
+    rejected_pairs_service): the fuzzy link is suppressed and the key
+    self-maps."""
+    mention_keys = spark.createDataFrame(
+        [("jon-smyth", "Person")], "raw_key string, mention_type string")
+    aliases = spark.createDataFrame(
+        [("jon-smith", "phone-12025550123", "Person")],
+        "alias string, canonical_key string, entity_type string")
+    free = build_key_mapping(mention_keys, aliases).collect()[0]
+    assert free["method"] == "fuzzy"
+    assert free["canonical_key"] == "phone-12025550123"
+
+    rejected = spark.createDataFrame(
+        [("jon-smyth", "phone-12025550123")], "key_a string, key_b string")
+    blocked = build_key_mapping(mention_keys, aliases,
+                                rejected_pairs=rejected).collect()[0]
+    assert blocked["method"] == "self"
+    assert blocked["canonical_key"] == "jon-smyth"
