@@ -116,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": et.oracle_triples_sql(),
         "kg_nodes": et.oracle_nodes_sql(),
         "kg_edges": et.oracle_edges_sql(),
+        "kg_manifest": et.oracle_manifest_sql(),
         # kg_triples_synth: intentionally no oracle (non-SQL linking over
         # synthetic fuzz); covered by pytest P/R gate instead.
     }

@@ -28,10 +28,44 @@ from pyspark.sql.window import Window
 
 FUZZY_THRESHOLD = 0.84  # levenshtein-ratio analog of SequenceMatcher>=0.88
 
+# MinHash-LSH blocking parameters (char-trigram shingles of the key)
+LSH_N_HASHES = 6
+LSH_BANDS = 3  # 2 hashes per band
+
 
 def _block_token(col):
     """Blocking key: first hyphen token of the normalised key."""
     return F.split(col, "-").getItem(0)
+
+
+def _lsh_bands(df: DataFrame, key_col: str) -> DataFrame:
+    """(.., key) -> exploded (band, sig) blocking keys via MinHash over
+    character trigrams of the key. md5(k || '|' || shingle) is the k-th
+    permutation; LSH_BANDS bands of LSH_N_HASHES/LSH_BANDS minima each.
+
+    This is the scale-out blocking strategy (north-star's minhash-LSH
+    candidate join): unlike first-token blocking it has no hub blocks —
+    bucket sizes are governed by actual key similarity — so the candidate
+    join stays bounded when the dictionary is too large/diverse for
+    token blocks.
+    """
+    rows_per_band = LSH_N_HASHES // LSH_BANDS
+    shingled = df.withColumn(
+        "__sh",
+        F.expr(f"transform(sequence(1, greatest(length({key_col}) - 2, 1)), "
+               f"i -> substring({key_col}, i, 3))"))
+    return (
+        shingled.select(key_col, F.explode("__sh").alias("__s"))
+        .dropDuplicates([key_col, "__s"])
+        .select(key_col, "__s",
+                F.explode(F.expr(f"sequence(0, {LSH_N_HASHES - 1})")).alias("__k"))
+        .withColumn("__h", F.md5(F.concat_ws("|", F.col("__k"), F.col("__s"))))
+        .groupBy(key_col, "__k").agg(F.min("__h").alias("__minh"))
+        .withColumn("band", (F.col("__k") / rows_per_band).cast("int"))
+        .groupBy(key_col, "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("__k"), F.col("__minh"))))).alias("sig"))
+    )
 
 
 def build_key_mapping(
@@ -39,12 +73,17 @@ def build_key_mapping(
     alias_dict: DataFrame | None,
     rejected_pairs: DataFrame | None = None,
     fuzzy_threshold: float = FUZZY_THRESHOLD,
+    fuzzy_strategy: str = "block",
 ) -> DataFrame:
     """Resolve distinct raw keys against the alias dictionary.
 
     mention_keys: DataFrame(raw_key string, mention_type string) — distinct.
     alias_dict:   DataFrame(alias, canonical_key, entity_type) or None.
     rejected_pairs: DataFrame(key_a, key_b) — pairs a human rejected.
+    fuzzy_strategy: 'block' (first-token equi-blocking, broadcast dict) or
+                    'lsh' (minhash-LSH band join over char trigrams — the
+                    scale path when the dictionary outgrows broadcast or
+                    token blocks skew).
 
     Returns DataFrame(raw_key, canonical_key, method) where method in
     ('exact','fuzzy','self').
@@ -79,15 +118,32 @@ def build_key_mapping(
         & ~F.col("raw_key").startswith("email-")
         & ~F.col("raw_key").startswith("chat-")
         & F.col("raw_key").contains("-")
-    ).withColumn("block", _block_token(F.col("raw_key")))
-
-    cand = (
-        aliases.filter(~F.col("alias").startswith("phone-")
-                       & ~F.col("alias").startswith("email-"))
-        .withColumn("block", _block_token(F.col("alias")))
     )
+    cand = aliases.filter(~F.col("alias").startswith("phone-")
+                          & ~F.col("alias").startswith("email-"))
+
+    if fuzzy_strategy == "lsh":
+        src_bands = _lsh_bands(fuzzy_src, "raw_key")
+        cand_bands = _lsh_bands(cand.select("alias"), "alias")
+        cand_pairs = (
+            src_bands.join(cand_bands, on=["band", "sig"])
+            .select("raw_key", "alias").dropDuplicates()
+        )
+        raw = (
+            cand_pairs
+            .join(fuzzy_src, on="raw_key")
+            .join(cand, on="alias")
+        )
+    else:
+        raw = (
+            fuzzy_src.withColumn("block", _block_token(F.col("raw_key")))
+            .join(F.broadcast(cand.withColumn("block",
+                                              _block_token(F.col("alias")))),
+                  on="block")
+        )
+
     pairs = (
-        fuzzy_src.join(F.broadcast(cand), on="block")
+        raw
         .filter((F.col("mention_type").isNull())
                 | (F.col("mention_type") == F.col("entity_type")))
         .withColumn(

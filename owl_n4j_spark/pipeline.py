@@ -142,6 +142,9 @@ def run_pipeline(
                              "turn_idx", "ts", "amount", "date") \
                      .dropDuplicates(["subj_key", "pred", "obj_key",
                                       "conv_id", "turn_idx"])
+        # base feeds BOTH union legs below; without a materialization point
+        # the remap broadcasts + dedup shuffle execute twice in one action
+        base = base.localCheckpoint(eager=True) if warehouse is None else base
         # first-appearance PARTICIPATED_IN per canonical speaker per thread
         participated = (
             base.filter(F.col("pred") == "SENT_MESSAGE")

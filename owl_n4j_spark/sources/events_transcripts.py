@@ -212,6 +212,76 @@ ORDER BY key
 """
 
 
+def oracle_manifest_sql() -> str:
+    """Expected reconciliation-manifest stage totals, derived from events.
+
+    Per-turn record arithmetic (extraction contract): every turn emits one
+    speaker mention + one SENT_MESSAGE triple; non-noise turns add two
+    mentions + one relation triple; plus one thread mention per conversation.
+    """
+    return f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+counts AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         COUNT(DISTINCT conv_id) AS n_conv
+  FROM t
+),
+users AS (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx FROM t),
+others AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) + 1 AS idx
+  FROM t WHERE event_type IN ('purchase', 'view')
+),
+name_people AS (SELECT idx FROM users UNION SELECT idx FROM others),
+mapping_count AS (
+  SELECT (SELECT COUNT(*) FROM users)                       -- phone keys
+       + (SELECT COUNT(*) FROM name_people)                 -- name keys
+       + (SELECT COUNT(DISTINCT {_city_key_case()}) FROM t WHERE event_type = 'click')
+       + (SELECT COUNT(DISTINCT {_org_key_case()}) FROM t WHERE event_type = 'signup')
+       + (SELECT n_conv FROM counts) AS n                   -- chat keys
+),
+n_mentions AS (
+  SELECT n_total + 2 * (n_total - n_err) + n_conv AS n FROM counts
+),
+n_records AS (
+  SELECT (SELECT n FROM n_mentions) + n_total + (n_total - n_err) AS n
+  FROM counts
+),
+n_triples AS (SELECT COUNT(*) AS n FROM triples),
+n_nodes AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT DISTINCT key FROM (
+      SELECT spk AS key FROM t
+      UNION ALL SELECT oth FROM t WHERE event_type IN ('purchase', 'view')
+      UNION ALL SELECT {_city_key_case()} FROM t WHERE event_type = 'click'
+      UNION ALL SELECT {_org_key_case()} FROM t WHERE event_type = 'signup'
+      UNION ALL SELECT chat FROM t
+    )
+  )
+),
+n_edges AS (
+  SELECT COUNT(*) AS n FROM
+    (SELECT DISTINCT subj_key, pred, obj_key FROM triples)
+)
+SELECT 'edges_referential' AS stage, (SELECT n FROM n_edges) AS in_rows,
+       (SELECT n FROM n_edges) AS out_rows, 0 AS quarantined
+UNION ALL
+SELECT 'extract', (SELECT n_total FROM counts), (SELECT n FROM n_records), 0
+UNION ALL
+SELECT 'link_canonicalize', (SELECT n FROM mapping_count),
+       (SELECT n FROM mapping_count), 0
+UNION ALL
+SELECT 'materialize_nodes', (SELECT n FROM n_mentions),
+       (SELECT n FROM n_nodes), 0
+UNION ALL
+SELECT 'normalize', (SELECT n_total FROM counts),
+       (SELECT n_total FROM counts), 0
+UNION ALL
+SELECT 'triples', (SELECT n FROM n_records), (SELECT n FROM n_triples), 0
+ORDER BY stage
+"""
+
+
 def oracle_edges_sql() -> str:
     return f"""
 WITH {_BASE_CTE}, {_TRIPLE_LEGS}

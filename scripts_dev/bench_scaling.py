@@ -30,6 +30,7 @@ sys.path.insert(0, "/root/repo")
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 N_LO = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 N_HI = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+FULL_ONLY = len(sys.argv) > 4 and sys.argv[4] == "full_only"
 DATA = f"/tmp/owl_scaling_transcripts_{N_CONVS}"
 PARTITIONS = 256  # >> threads at both levels: short tail waves, even feeding
 
@@ -71,9 +72,12 @@ def run_at(n_threads: int, n_turns: int) -> dict:
     # timing — steady-state throughput is the metric)
     extract_records(transcripts.sample(0.02, seed=1)).count()
 
-    t0 = time.time()
-    n_records = extract_records(transcripts).count()
-    t_extract = time.time() - t0
+    if FULL_ONLY:
+        t_extract, n_records = float("nan"), -1
+    else:
+        t0 = time.time()
+        n_records = extract_records(transcripts).count()
+        t_extract = time.time() - t0
 
     t0 = time.time()
     res = run_pipeline(spark, transcripts, alias_dict=alias_dict,
@@ -85,7 +89,7 @@ def run_at(n_threads: int, n_turns: int) -> dict:
 
     spark.stop()
     return dict(threads=n_threads, t_extract=round(t_extract, 2),
-                extract_tps=round(n_turns / t_extract, 1),
+                extract_tps=round(n_turns / t_extract, 1) if t_extract == t_extract else -1,
                 t_full=round(t_full, 2),
                 full_tps=round(n_turns / t_full, 1),
                 n_records=n_records, n_triples=n_triples,
@@ -102,8 +106,11 @@ def main():
     assert r8["n_triples"] == r32["n_triples"], "parallelism changed results!"
 
     ratio = N_HI / N_LO
-    eff_extract = (r32["extract_tps"] / r8["extract_tps"]) / ratio
     eff_full = (r32["full_tps"] / r8["full_tps"]) / ratio
+    if FULL_ONLY:
+        print(f"full eff={eff_full:.3f} (full_only mode: BENCH/BASELINE.md not rewritten)")
+        return
+    eff_extract = (r32["extract_tps"] / r8["extract_tps"]) / ratio
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
