@@ -532,7 +532,78 @@ ORDER BY label, dim
 """
 
 
+SEARCH_TERM = "window"
+SNIPPET_PAD = 25
+
+
+def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search + snippet builder (SURVEY F13: ±N chars around the
+    first match — neo4j_service.py:13392-13420). Pure column exprs: locate +
+    substring; the filter pushes to the scan."""
+    docs = load(spark, sf_dir, "documents")
+    pos = F.locate(SEARCH_TERM, F.col("text"))
+    snippet = F.substring(
+        F.col("text"),
+        F.greatest(pos - SNIPPET_PAD, F.lit(1)),
+        F.lit(len(SEARCH_TERM) + 2 * SNIPPET_PAD))
+    return (
+        docs.filter(pos > 0)
+        .select("doc_id", pos.alias("match_pos"), snippet.alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_SEARCH = f"""
+SELECT doc_id,
+       strpos(text, '{SEARCH_TERM}') AS match_pos,
+       substring(text,
+                 greatest(strpos(text, '{SEARCH_TERM}') - {SNIPPET_PAD}, 1),
+                 {len(SEARCH_TERM) + 2 * SNIPPET_PAD}) AS snippet
+FROM documents
+WHERE strpos(text, '{SEARCH_TERM}') > 0
+ORDER BY doc_id
+"""
+
+
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pruning: drop the higher doc_id of every
+    word-trigram-Jaccard >= 0.2 pair, keep the rest — the dataset-cleaning
+    join a pretraining pipeline runs after candidate generation. Survivor
+    count + total chars kept."""
+    docs = load(spark, sf_dir, "documents")
+    dups = (q_ngram_jaccard_pairs(spark, sf_dir)
+            .select(F.col("doc_b").alias("doc_id")).dropDuplicates())
+    survivors = docs.join(dups, on="doc_id", how="left_anti")
+    return survivors.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+SQL_NEARDUP_SURVIVORS = rf"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+dups AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+)
+SELECT COUNT(*) AS n_survivors, SUM(length(text)) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 TEXT_REGISTRY = {
+    "q_doc_search": (q_doc_search, SQL_DOC_SEARCH),
+    "q_neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     "q_doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),

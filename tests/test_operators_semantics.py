@@ -75,3 +75,27 @@ def test_rejected_pairs_suppress_fuzzy(spark):
                                 rejected_pairs=rejected).collect()[0]
     assert blocked["method"] == "self"
     assert blocked["canonical_key"] == "jon-smyth"
+
+
+def test_unified_contact_rollup(spark):
+    """A11 — canonical Person nodes roll up every phone number and real-name
+    alias of their identity component (ref unified-contacts buckets,
+    neo4j_service.py:12150-12547)."""
+    corpus = generate_corpus_pandas(40, seed=5)
+    tr = spark.createDataFrame(corpus["transcripts"])
+    ad = spark.createDataFrame(corpus["alias_dict"])
+    res = run_pipeline(spark, tr, alias_dict=ad, with_manifest=False)
+    nodes = {r["key"]: r for r in res["nodes"].collect()}
+    person_rows = [r for k, r in nodes.items() if k.startswith("phone-")]
+    assert person_rows, "no canonical person nodes"
+    # every canonical person node carries its E.164 in phone_numbers
+    with_phone = [r for r in person_rows if r["phone_numbers"]]
+    assert len(with_phone) >= len(person_rows) * 0.5
+    for r in with_phone:
+        assert f"+{r['key'][len('phone-'):]}" in r["phone_numbers"]
+    # alias rollup: some canonical person collects >= 2 real-name aliases
+    assert any(len(r["name_aliases"]) >= 2 for r in person_rows)
+    # primary name is a real name, never a bare number/JID
+    for r in person_rows:
+        if r["name_aliases"]:
+            assert "@" not in r["name"] and not r["name"].startswith("+")
