@@ -382,7 +382,77 @@ ORDER BY tile_lat, tile_lon
 SQL_KG_LOCATION_TILES = _sql_kg_location_tiles()
 
 
+# ---------------------------------------------------------------------------
+# P3 — date-range filter + 2-hop closure
+# ---------------------------------------------------------------------------
+
+CLOSURE_START, CLOSURE_END = "2024-01-05", "2024-01-07"
+
+
+def kg_date_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's timeline query returns nodes in [start, end] PLUS
+    everything <= 2 hops away (neo4j_service.py:293-340). Spark: seed =
+    entities active in the window; closure = two self-joins on the
+    undirected edge set; per-node hop distance (0 = in window)."""
+    res = kg_result(spark, sf_dir)
+    tr = res["triples"]
+    e = res["edges"]
+    sym = (e.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
+           .unionByName(e.select(F.col("dst_key").alias("a"),
+                                 F.col("src_key").alias("b"))).distinct())
+    seed = (
+        tr.filter(F.col("ts").between(f"{CLOSURE_START} 00:00:00",
+                                      f"{CLOSURE_END} 23:59:59.999"))
+        .select(F.col("subj_key").alias("key"))
+        .unionByName(
+            tr.filter(F.col("ts").between(f"{CLOSURE_START} 00:00:00",
+                                          f"{CLOSURE_END} 23:59:59.999"))
+            .select(F.col("obj_key").alias("key")))
+        .distinct().withColumn("hop", F.lit(0))
+    )
+    h1 = (seed.join(sym.withColumnRenamed("a", "key"), on="key")
+          .select(F.col("b").alias("key")).distinct()
+          .withColumn("hop", F.lit(1)))
+    h2 = (h1.join(sym.withColumnRenamed("a", "key"), on="key")
+          .select(F.col("b").alias("key")).distinct()
+          .withColumn("hop", F.lit(2)))
+    return (
+        seed.unionByName(h1).unionByName(h2)
+        .groupBy("key").agg(F.min("hop").cast("bigint").alias("hop"))
+        .orderBy("key")
+    )
+
+
+SQL_KG_DATE_CLOSURE = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+tstamped AS (
+  SELECT tr.*, t2.ts
+  FROM triples tr JOIN t t2 ON tr.conv_id = t2.conv_id AND tr.turn_idx = t2.turn_idx
+),
+edges AS (SELECT DISTINCT subj_key, obj_key FROM triples),
+sym AS (
+  SELECT subj_key AS a, obj_key AS b FROM edges
+  UNION SELECT obj_key, subj_key FROM edges
+),
+seed AS (
+  SELECT DISTINCT key, 0 AS hop FROM (
+    SELECT subj_key AS key FROM tstamped
+    WHERE ts BETWEEN '{CLOSURE_START} 00:00:00' AND '{CLOSURE_END} 23:59:59.999'
+    UNION ALL
+    SELECT obj_key FROM tstamped
+    WHERE ts BETWEEN '{CLOSURE_START} 00:00:00' AND '{CLOSURE_END} 23:59:59.999'
+  )
+),
+h1 AS (SELECT DISTINCT sym.b AS key, 1 AS hop FROM seed JOIN sym ON sym.a = seed.key),
+h2 AS (SELECT DISTINCT sym.b AS key, 2 AS hop FROM h1 JOIN sym ON sym.a = h1.key)
+SELECT key, CAST(MIN(hop) AS BIGINT) AS hop
+FROM (SELECT * FROM seed UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+GROUP BY key ORDER BY key
+"""
+
+
 KG_ANALYTICS_REGISTRY = {
+    "kg_date_closure": (kg_date_closure, SQL_KG_DATE_CLOSURE),
     "kg_location_tiles": (kg_location_tiles, SQL_KG_LOCATION_TILES),
     "kg_entity_summaries": (kg_entity_summaries, SQL_KG_ENTITY_SUMMARIES),
     "kg_last_location": (kg_last_location, SQL_KG_LAST_LOCATION),

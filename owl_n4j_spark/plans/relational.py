@@ -566,7 +566,69 @@ FROM events GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (SURVEY §2.4 note: grouping-sets family provided
+    natively by Spark; no reference analog). Year/month revenue with
+    subtotal and grand-total rows; GROUPING() flags disambiguate NULLs."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders
+        .withColumn("year", F.date_format("o_orderdate", "yyyy"))
+        .withColumn("month", F.date_format("o_orderdate", "MM"))
+        .rollup("year", "month")
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("year", F.lit("ALL")).alias("year"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "revenue", "n_orders",
+        )
+        .orderBy("year", "month")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(strftime(o_orderdate, '%Y'), 'ALL') AS year,
+       coalesce(strftime(o_orderdate, '%m'), 'ALL') AS month,
+       round(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%m'))
+ORDER BY year, month
+"""
+
+
+def q_distinct_approx(spark, sf_dir):
+    """Exact vs approx distinct-count side by side (SURVEY §2.4 note).
+    The oracle checks the exact column; the HLL estimate is emitted with a
+    tolerance flag rather than a raw value (approx values differ by engine)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type", "n_exact",
+            (F.abs(F.col("__approx") - F.col("n_exact"))
+             <= F.col("n_exact") * 0.1).alias("approx_within_10pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_APPROX = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS approx_within_10pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 RELATIONAL_REGISTRY = {
+    "q_rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "q_distinct_approx": (q_distinct_approx, SQL_DISTINCT_APPROX),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "q_region_revenue": (q_region_revenue, SQL_REGION_REVENUE),

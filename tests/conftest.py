@@ -9,9 +9,11 @@ from owl_n4j_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
     s = get_spark(master="local[4]", app_name="owl-n4j-tests",
-                  shuffle_partitions=8)
+                  shuffle_partitions=8,
+                  extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
     s.stop()
 

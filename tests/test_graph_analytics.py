@@ -50,3 +50,20 @@ def test_betweenness_star_center(spark):
               for r in betweenness_sampled(
                   e, sources=["c", "l1", "l2", "l3", "l4"]).collect()}
     assert abs(scores["c"] - 6.0) < 1e-9
+
+
+def test_cc_hub_skew(spark):
+    """Canonicalization CC under extreme hub skew (the documented 70k-rel
+    contact): a star with 20,000 leaves must resolve to ONE component whose
+    canonical is the priority-preferred key, through the salted two-stage
+    min aggregation."""
+    from pyspark.sql import functions as F
+    from owl_n4j_spark.operators.canonicalize import connected_components
+
+    leaves = spark.range(20_000).select(
+        F.format_string("name-alias-%06d", F.col("id")).alias("src"),
+        F.lit("phone-12025550123").alias("dst"))
+    comps = connected_components(leaves)
+    assert comps.select("canonical_key").distinct().count() == 1
+    assert comps.first()["canonical_key"] == "phone-12025550123"
+    assert comps.count() == 20_001
