@@ -67,65 +67,70 @@ def betweenness_sampled(edges: DataFrame, sources: list,
     """edges(src, dst) undirected + explicit source set -> (vertex, score).
 
     Brandes dependency accumulation restricted to ``sources`` (exact when
-    sources = all vertices). Per source: forward BFS computing sigma (number
-    of shortest paths) level by level, then backward accumulation
-    delta[v] = sum over successors w of sigma_v/sigma_w * (1 + delta[w]).
+    sources = all vertices), run as a MULTI-SOURCE vectorized BFS: every
+    frontier/level/delta table is keyed by (source, vertex), so all sources
+    advance in the same joins — the job count is O(diameter), not
+    O(diameter × |sources|). Forward pass computes sigma (shortest-path
+    counts) level by level; backward pass accumulates
+    delta[v] = Σ_w sigma_v/sigma_w · (1 + delta[w]) over successors w.
     Endpoints excluded, undirected halving applied.
     """
     sym = _symmetrize(edges).localCheckpoint(eager=True)
     spark = edges.sparkSession
+    is_str = dict(edges.dtypes).get("src") == "string"
+    vtype = "string" if is_str else "long"
+    seed = spark.createDataFrame(
+        [((s if is_str else int(s)), (s if is_str else int(s)), 1.0)
+         for s in sources],
+        f"s {vtype}, v {vtype}, sigma double")
+
+    # ---- forward: levels of (s, v, sigma) --------------------------------
+    levels = [seed.localCheckpoint(eager=True)]
+    seen = levels[0].select("s", "v")
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1].join(sym.withColumnRenamed("a", "v"), on="v")
+            .groupBy("s", F.col("b").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, on=["s", "v"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
+
+    # ---- backward: dependency accumulation per (s, v) --------------------
     total = None
-
-    for s in sources:
-        # ---- forward: levels with path counts --------------------------
-        levels = [spark.createDataFrame([(s, 1.0)], "v string, sigma double")
-                  if dict(edges.dtypes).get("src") == "string"
-                  else spark.createDataFrame([(int(s), 1.0)], "v long, sigma double")]
-        seen = levels[0].select("v")
-        for _ in range(max_depth):
-            nxt = (
-                levels[-1].join(sym.withColumnRenamed("a", "v"), on="v")
-                .groupBy(F.col("b").alias("v"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(seen, on="v", how="left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            levels.append(nxt)
-            seen = seen.unionByName(nxt.select("v")).localCheckpoint(eager=True)
-
-        # ---- backward: dependency accumulation -------------------------
-        delta = None  # (v, delta)
-        for d in range(len(levels) - 1, 0, -1):
-            lower = levels[d]
-            if delta is not None:
-                lower = (
-                    lower.join(delta, on="v", how="left")
-                    .fillna(0.0, subset=["delta"])
-                )
-            else:
-                lower = lower.withColumn("delta", F.lit(0.0))
-            upper = levels[d - 1].withColumnRenamed("sigma", "sigma_up")
-            contrib = (
-                lower.join(sym.withColumnRenamed("a", "v"), on="v")
-                .join(upper.withColumnRenamed("v", "b"), on="b")
-                .withColumn("c", F.col("sigma_up") / F.col("sigma")
-                            * (F.lit(1.0) + F.col("delta")))
-                .groupBy(F.col("b").alias("v"))
-                .agg(F.sum("c").alias("delta"))
-                .localCheckpoint(eager=True)
-            )
-            delta = contrib
-            if d > 1:
-                # accumulate scores for interior vertices of this level
-                part = levels[d - 1].select("v").join(contrib, on="v")
-                total = part if total is None else (
-                    total.unionByName(part).groupBy("v")
-                    .agg(F.sum("delta").alias("delta"))
-                    .localCheckpoint(eager=True))
+    delta = None
+    for d in range(len(levels) - 1, 0, -1):
+        lower = levels[d]
+        if delta is not None:
+            lower = (lower.join(delta, on=["s", "v"], how="left")
+                     .fillna(0.0, subset=["delta"]))
+        else:
+            lower = lower.withColumn("delta", F.lit(0.0))
+        upper = levels[d - 1].withColumnRenamed("sigma", "sigma_up")
+        contrib = (
+            lower.join(sym.withColumnRenamed("a", "v"), on="v")
+            .join(upper.withColumnsRenamed({"v": "b"}), on=["s", "b"])
+            .withColumn("c", F.col("sigma_up") / F.col("sigma")
+                        * (F.lit(1.0) + F.col("delta")))
+            .groupBy("s", F.col("b").alias("v"))
+            .agg(F.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib
+        if d > 1:
+            part = (levels[d - 1].select("s", "v")
+                    .join(contrib, on=["s", "v"]).select("v", "delta"))
+            total = part if total is None else (
+                total.unionByName(part).groupBy("v")
+                .agg(F.sum("delta").alias("delta"))
+                .localCheckpoint(eager=True))
 
     if total is None:
         return spark.createDataFrame([], "vertex string, score double")
-    return total.select(F.col("v").alias("vertex"),
-                        (F.col("delta") / 2.0).alias("score"))
+    return (total.groupBy("v").agg(F.sum("delta").alias("delta"))
+            .select(F.col("v").alias("vertex"),
+                    (F.col("delta") / 2.0).alias("score")))

@@ -288,7 +288,8 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 6 vertices — deterministic sample. Rows-only driver check;
     exactness pinned by path/star fixtures in tests."""
     e = copresence_edges(spark, sf_dir).select(
-        F.col("a").alias("src"), F.col("b").alias("dst"))
+        F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .localCheckpoint(eager=True)  # sampled twice: vertex pick + algorithm
     verts = [r["src"] for r in
              e.select("src").unionByName(e.select(F.col("dst").alias("src")))
              .dropDuplicates().orderBy("src").limit(6).collect()]
