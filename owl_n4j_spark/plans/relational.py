@@ -626,9 +626,62 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_json_props(spark, sf_dir):
+    """JSON prop decode + aggregate (SURVEY F12: the reference JSON-encodes
+    nested props into strings and re-parses on read). get_json_object stays
+    JVM-side; the k value buckets into a histogram."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k / 10).cast("bigint").alias("k_bucket"))
+        .groupBy("k_bucket").agg(F.count("*").alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS n
+FROM events GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+
+def q_track_thinning(spark, sf_dir):
+    """Track simplification (SURVEY F16 _simplify_points): drop events
+    closer than 10 minutes to their predecessor in the same user's stream —
+    lag window + filter; per-user kept-point counts."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("keep", F.when(gap.isNull() | (gap >= 600), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("keep").cast("bigint").alias("n_kept"),
+             F.count("*").alias("n_points"))
+        .orderBy("user_id")
+    )
+
+
+SQL_TRACK_THINNING = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) >= 600
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_points
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 RELATIONAL_REGISTRY = {
     "q_rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "q_distinct_approx": (q_distinct_approx, SQL_DISTINCT_APPROX),
+    "q_json_props": (q_json_props, SQL_JSON_PROPS),
+    "q_track_thinning": (q_track_thinning, SQL_TRACK_THINNING),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "q_region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
