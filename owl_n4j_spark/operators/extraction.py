@@ -275,11 +275,17 @@ def extract_records(transcripts: DataFrame,
     relationally below (not in Python).
     """
     recs = extract_records_stateless(transcripts, gazetteer)
+    return add_thread_mentions(recs)
 
-    # Thread (Communication) mentions — pure relational, no Python
-    # (ref: chat handler neo4j_writer.py:1507-1567). PARTICIPATED_IN is
-    # derived in the pipeline AFTER linking (first appearance is defined on
-    # the canonical identity, not the raw role surface).
+
+def add_thread_mentions(recs: DataFrame) -> DataFrame:
+    """Append the per-conversation Communication thread mentions to a
+    stateless record stream — pure relational, no Python (ref: chat handler
+    neo4j_writer.py:1507-1567). Shared by the batch extractor and the
+    incremental path (streamed records + this tail == batch extract_records;
+    tested). PARTICIPATED_IN is derived in the pipeline AFTER linking
+    (first appearance is defined on the canonical identity, not the raw
+    role surface)."""
     sent = recs.filter((F.col("kind") == "triple") & (F.col("pred") == "SENT_MESSAGE"))
     threads = (
         sent.groupBy("conv_id", "obj_key")

@@ -73,6 +73,7 @@ def run_pipeline(
     with_manifest: bool = True,
     gazetteer: list[str] | None = None,
     engine: str = "pandas",
+    records_df: DataFrame | None = None,
 ) -> PipelineResult:
     """``engine``: 'pandas' (default) is the Arrow-batched extractor —
     MEASURED FASTER than the all-JVM variant (84k vs 50k turns/sec at
@@ -81,7 +82,14 @@ def run_pipeline(
     per-column regexp_extract re-evaluation. 'sql' runs extraction as pure
     column expressions inside whole-stage codegen
     (operators/extraction_sql.py) — record-for-record equal (tested), kept
-    as the zero-Python deployment option."""
+    as the zero-Python deployment option.
+
+    ``records_df``: pre-extracted records (e.g. accumulated by the
+    Structured-Streaming incremental extractor plus the relational
+    thread-mention tail) — stages 1-3 are skipped and the remaining stages
+    run unchanged, so incremental ingestion feeds the exact same
+    link/canonicalize/materialize path as batch (asserted equal in
+    tests/test_streaming.py)."""
     mw = ManifestWriter(spark, path=os.path.join(warehouse, "manifest")
                         if warehouse else None)
 
@@ -106,15 +114,24 @@ def run_pipeline(
         return spark.read.parquet(path)
 
     # ---- stage 1: normalize ------------------------------------------------
-    clean = staged("t01_normalized", lambda: normalize_transcripts(transcripts))
+    if records_df is None:
+        clean = staged("t01_normalized",
+                       lambda: normalize_transcripts(transcripts))
+    else:
+        clean = transcripts  # informational only; stages 1-3 are external
 
     # ---- stage 2/3: extraction --------------------------------------------
-    if engine == "sql":
-        from owl_n4j_spark.operators.extraction_sql import extract_records_sql
-        extract_fn = extract_records_sql
+    if records_df is not None:
+        records = staged("t02_records", lambda: records_df)
     else:
-        extract_fn = extract_records
-    records = staged("t02_records", lambda: extract_fn(clean, gazetteer))
+        if engine == "sql":
+            from owl_n4j_spark.operators.extraction_sql import (
+                extract_records_sql,
+            )
+            extract_fn = extract_records_sql
+        else:
+            extract_fn = extract_records
+        records = staged("t02_records", lambda: extract_fn(clean, gazetteer))
     mentions_raw = records.filter(F.col("kind") == "mention")
     triples_raw = records.filter(F.col("kind") == "triple")
     sameas_raw = records.filter(F.col("kind") == "sameas")
@@ -190,11 +207,15 @@ def run_pipeline(
     edges = staged("t07_edges", _edges)
 
     if with_manifest:
-        n_in = transcripts.count()
-        n_clean = clean.count()
-        mw.record("normalize", in_rows=n_in, out_df=clean,
-                  quarantined=n_in - n_clean)
-        mw.record("extract", in_rows=n_clean, out_df=records)
+        if records_df is None:
+            n_in = transcripts.count()
+            n_clean = clean.count()
+            mw.record("normalize", in_rows=n_in, out_df=clean,
+                      quarantined=n_in - n_clean)
+            mw.record("extract", in_rows=n_clean, out_df=records)
+        else:
+            mw.record("extract_external", in_rows=records.count(),
+                      out_df=records)
         mw.record("link_canonicalize", in_rows=final_mapping.count(),
                   out_df=final_mapping)
         mw.record("triples", in_rows=records.count(), out_df=triples)

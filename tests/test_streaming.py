@@ -91,3 +91,34 @@ def test_watermarked_thread_stats(spark, stream_dirs, corpus_batches):
                 for r in want.collect()}
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+def test_incremental_pipeline_equals_batch(spark, stream_dirs, corpus_batches):
+    """The full KG built from STREAMED extraction records (accumulated
+    across drops + the relational thread tail) must equal the batch
+    pipeline's nodes/edges — incremental ingestion is a first-class path,
+    not an approximation."""
+    from owl_n4j_spark.operators.extraction import add_thread_mentions
+    from owl_n4j_spark.pipeline import run_pipeline
+
+    corpus, b1, b2 = corpus_batches
+    # stream_dirs["out"] holds the accumulated records from both drops
+    # (written by test_streaming_extraction_equals_batch, which runs first)
+    streamed = spark.read.parquet(stream_dirs["out"])
+    records = add_thread_mentions(
+        streamed.select("conv_id", "turn_idx", "kind", "surface",
+                        "mention_key", "mention_type", "subj_key", "pred",
+                        "obj_key", "amount", "date", "ts"))
+    ad = spark.createDataFrame(corpus["alias_dict"])
+    inc = run_pipeline(spark, None, alias_dict=ad, records_df=records,
+                       with_manifest=False)
+    batch = run_pipeline(spark, spark.createDataFrame(corpus["transcripts"]),
+                         alias_dict=ad, with_manifest=False)
+    n_inc = sorted(map(tuple, inc["nodes"].select("node_id", "key", "type").collect()))
+    n_bat = sorted(map(tuple, batch["nodes"].select("node_id", "key", "type").collect()))
+    assert n_inc == n_bat
+    e_inc = sorted(map(tuple, inc["edges"].select(
+        "src_key", "dst_key", "rel_type", "weight").collect()))
+    e_bat = sorted(map(tuple, batch["edges"].select(
+        "src_key", "dst_key", "rel_type", "weight").collect()))
+    assert e_inc == e_bat
