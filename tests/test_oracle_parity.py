@@ -16,8 +16,8 @@ from scripts_dev.check_oracles import TABLES, normalize
 SF_DIR = "/root/testdata/sf0.001"
 
 # slow entries whose full-pipeline correctness is covered elsewhere
-# (test_pipeline_parity for synth; kg_triples itself covers the pipeline)
-SKIP = {"kg_triples_synth", "kg_manifest"}
+# (test_pipeline_parity covers the synthetic-fuzz corpus)
+SKIP = {"kg_triples_synth"}
 
 
 @pytest.fixture(scope="module")
