@@ -24,10 +24,17 @@ from owl_n4j_spark.sources import events_transcripts as et
 
 def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
     """Headline: transcripts -> extract -> link -> canonicalize ->
-    materialize, cold (no warehouse reuse)."""
+    materialize, cold (no warehouse reuse). Also times the triple-extraction
+    stage alone — the BASELINE.json metric."""
+    from owl_n4j_spark.operators.extraction import extract_records
+
     transcripts = et.transcripts_from_events(spark, sf_dir)
     alias_dict = et.alias_dict_df(spark)
     n_turns = transcripts.count()
+    extract_records(transcripts.sample(0.02, seed=1)).count()  # warm workers
+    t0 = time.time()
+    extract_records(transcripts).count()
+    t_extract = time.time() - t0
     t0 = time.time()
     res = run_pipeline(spark, transcripts, alias_dict=alias_dict,
                        with_manifest=False)
@@ -38,6 +45,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
     }
     dt = time.time() - t0
     return dt, {"n_turns": n_turns, "turns_per_sec": round(n_turns / dt, 1),
+                "extract_turns_per_sec": round(n_turns / t_extract, 1),
                 **counts}
 
 
@@ -74,6 +82,7 @@ def main():
         "queries": queries,
         "sf": sf,
         "kg_turns_per_sec": kg_stats["turns_per_sec"],
+        "kg_extract_turns_per_sec": kg_stats["extract_turns_per_sec"],
         "kg_n_turns": kg_stats["n_turns"],
         "kg_triples": kg_stats["triples"],
         "cpus": cpus,
