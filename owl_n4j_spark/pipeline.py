@@ -34,22 +34,29 @@ def normalize_transcripts(transcripts: DataFrame) -> DataFrame:
 
     - drop rows without a thread identity or position (quarantine-counted)
     - exact-duplicate turn rows (re-ingest artifacts) -> one survivor,
-      deterministically: min(struct(ts, role, text, tool)) per
+      deterministically: min(struct(ts nulls-last, role, text, tool)) per
       (conv_id, turn_idx) (W7; ref _dedup_comms_items,
       neo4j_service.py:169-194). The struct-min aggregation is algebraic
       and map-side combinable — at scale it replaces a full
       sort-every-partition window with a hash aggregation whose shuffle
-      volume shrinks with the duplicate rate.
+      volume shrinks with the duplicate rate. The election orders a NULL ts
+      LAST (struct-min alone would sort it first): among duplicates that
+      differ only in ts, the survivor keeps a real timestamp — same
+      semantics as the window orderBy(ts asc_nulls_last) it replaced.
 
     Stable per-thread order is (conv_id, turn_idx) BY CONTRACT — downstream
     consumers use Window.partitionBy(conv_id).orderBy(turn_idx) and never
     rely on physical row order.
     """
+    ts_sort = F.coalesce(
+        F.col("ts"), F.lit("9999-12-31 23:59:59").cast("timestamp"))
     return (
         transcripts.filter(F.col("conv_id").isNotNull()
                            & F.col("turn_idx").isNotNull())
         .groupBy("conv_id", "turn_idx")
-        .agg(F.min(F.struct("ts", "role", "text", "tool")).alias("__r"))
+        .agg(F.min(F.struct(ts_sort.alias("__ts_sort"), F.col("role"),
+                            F.col("text"), F.col("tool"),
+                            F.col("ts"))).alias("__r"))
         .select("conv_id", "turn_idx", F.col("__r.role").alias("role"),
                 F.col("__r.text").alias("text"), F.col("__r.tool").alias("tool"),
                 F.col("__r.ts").alias("ts"))
@@ -92,6 +99,15 @@ def run_pipeline(
     tests/test_streaming.py)."""
     mw = ManifestWriter(spark, path=os.path.join(warehouse, "manifest")
                         if warehouse else None)
+
+    # Resume only trusts committed stages when THIS run's inputs are the ones
+    # that produced them. A caller-supplied records_df (the incremental
+    # workflow: re-run with the same warehouse after new drops land) is new
+    # input by definition — honoring resume would silently reuse stale
+    # t02_records parquet and every downstream stage, producing a stale KG
+    # with no error. So records_df disables resume for the whole run.
+    if records_df is not None:
+        resume = False
 
     def staged(name: str, df_fn) -> DataFrame:
         """Compute-or-resume one stage through the warehouse.

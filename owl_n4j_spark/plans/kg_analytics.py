@@ -16,6 +16,7 @@ reference arrived at operationally (denormalized counts,
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,21 +27,35 @@ from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.sources import events_transcripts as et
 from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
 
-_KG_CACHE: dict[str, dict] = {}
+_KG_CACHE: dict[tuple, dict] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache/warehouse identity: the SparkSession that owns the cached
+    DataFrames (a restarted session leaves dead handles) + the FULL resolved
+    sf_dir (two dirs with the same basename must not collide)."""
+    return (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+
+
+def warehouse_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    app, full = _cache_key(spark, sf_dir)
+    tag = hashlib.sha1(f"{app}|{full}".encode()).hexdigest()[:12]
+    return f"/tmp/owl_{kind}_{os.getpid()}_{tag}"
 
 
 def kg_result(spark: SparkSession, sf_dir: str) -> dict:
-    """Full pipeline over events-derived transcripts, cached per sf via a
-    parquet warehouse (stage outputs committed once, reused across queries
-    and across the kg_* driver entries)."""
-    if sf_dir not in _KG_CACHE:
+    """Full pipeline over events-derived transcripts, cached per
+    (session, sf_dir) via a parquet warehouse (stage outputs committed once,
+    reused across queries and across the kg_* driver entries)."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _KG_CACHE:
         transcripts = et.transcripts_from_events(spark, sf_dir)
         alias_dict = et.alias_dict_df(spark)
-        wh = f"/tmp/owl_kg_wh_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
-        _KG_CACHE[sf_dir] = run_pipeline(
-            spark, transcripts, alias_dict=alias_dict, warehouse=wh,
+        _KG_CACHE[key] = run_pipeline(
+            spark, transcripts, alias_dict=alias_dict,
+            warehouse=warehouse_dir(spark, sf_dir, "kg_wh"),
             with_manifest=True)
-    return _KG_CACHE[sf_dir]
+    return _KG_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

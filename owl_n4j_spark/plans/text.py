@@ -595,7 +595,8 @@ dups AS (
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
 )
-SELECT COUNT(*) AS n_survivors, SUM(length(text)) AS total_chars
+SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 """

@@ -228,11 +228,18 @@ counts AS (
   FROM t
 ),
 users AS (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx FROM t),
+-- name mentions of the speaker come from the rendered TEXT, which names the
+-- speaker only on non-noise turns ('error' renders "ok"); an error-only user
+-- has a phone mention (JID role) but no name mention.
+users_named AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx
+  FROM t WHERE event_type != 'error'
+),
 others AS (
   SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) + 1 AS idx
   FROM t WHERE event_type IN ('purchase', 'view')
 ),
-name_people AS (SELECT idx FROM users UNION SELECT idx FROM others),
+name_people AS (SELECT idx FROM users_named UNION SELECT idx FROM others),
 mapping_count AS (
   SELECT (SELECT COUNT(*) FROM users)                       -- phone keys
        + (SELECT COUNT(*) FROM name_people)                 -- name keys
@@ -263,21 +270,28 @@ n_edges AS (
   SELECT COUNT(*) AS n FROM
     (SELECT DISTINCT subj_key, pred, obj_key FROM triples)
 )
-SELECT 'edges_referential' AS stage, (SELECT n FROM n_edges) AS in_rows,
-       (SELECT n FROM n_edges) AS out_rows, 0 AS quarantined
+-- Every count is CAST to BIGINT: Spark emits int64 for all manifest counts,
+-- while DuckDB SUM/arithmetic yields HUGEINT and bare literals INT32 — the
+-- driver hashes typed values, so the types must match exactly.
+SELECT 'edges_referential' AS stage,
+       CAST((SELECT n FROM n_edges) AS BIGINT) AS in_rows,
+       CAST((SELECT n FROM n_edges) AS BIGINT) AS out_rows,
+       CAST(0 AS BIGINT) AS quarantined
 UNION ALL
-SELECT 'extract', (SELECT n_total FROM counts), (SELECT n FROM n_records), 0
+SELECT 'extract', CAST((SELECT n_total FROM counts) AS BIGINT),
+       CAST((SELECT n FROM n_records) AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
-SELECT 'link_canonicalize', (SELECT n FROM mapping_count),
-       (SELECT n FROM mapping_count), 0
+SELECT 'link_canonicalize', CAST((SELECT n FROM mapping_count) AS BIGINT),
+       CAST((SELECT n FROM mapping_count) AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
-SELECT 'materialize_nodes', (SELECT n FROM n_mentions),
-       (SELECT n FROM n_nodes), 0
+SELECT 'materialize_nodes', CAST((SELECT n FROM n_mentions) AS BIGINT),
+       CAST((SELECT n FROM n_nodes) AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
-SELECT 'normalize', (SELECT n_total FROM counts),
-       (SELECT n_total FROM counts), 0
+SELECT 'normalize', CAST((SELECT n_total FROM counts) AS BIGINT),
+       CAST((SELECT n_total FROM counts) AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
-SELECT 'triples', (SELECT n FROM n_records), (SELECT n FROM n_triples), 0
+SELECT 'triples', CAST((SELECT n FROM n_records) AS BIGINT),
+       CAST((SELECT n FROM n_triples) AS BIGINT), CAST(0 AS BIGINT)
 ORDER BY stage
 """
 

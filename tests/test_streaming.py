@@ -46,18 +46,28 @@ def _write_drop(spark, pdf, input_dir, name):
         os.path.join(input_dir, name))
 
 
-def test_streaming_extraction_equals_batch(spark, stream_dirs, corpus_batches):
+@pytest.fixture(scope="module")
+def drained_stream(spark, stream_dirs, corpus_batches):
+    """Both drops written and drained through the incremental extractor —
+    the shared precondition of every test in this module, as a fixture so
+    each test is self-contained under -k selection / random ordering."""
     corpus, b1, b2 = corpus_batches
     _write_drop(spark, b1, stream_dirs["in"], "drop1")
     run_incremental_extraction(spark, stream_dirs["in"] + "/*",
                                stream_dirs["out"], stream_dirs["ckpt"])
     n_after_first = spark.read.parquet(stream_dirs["out"]).count()
-    assert n_after_first > 0
 
     # second drop arrives; resume picks up ONLY the new files
     _write_drop(spark, b2, stream_dirs["in"], "drop2")
     run_incremental_extraction(spark, stream_dirs["in"] + "/*",
                                stream_dirs["out"], stream_dirs["ckpt"])
+    return {"n_after_first": n_after_first}
+
+
+def test_streaming_extraction_equals_batch(spark, stream_dirs, corpus_batches,
+                                           drained_stream):
+    corpus, b1, b2 = corpus_batches
+    assert drained_stream["n_after_first"] > 0
 
     got = spark.read.parquet(stream_dirs["out"])
     want = extract_records_stateless(spark.createDataFrame(corpus["transcripts"]))
@@ -71,7 +81,8 @@ def test_streaming_extraction_equals_batch(spark, stream_dirs, corpus_batches):
     assert spark.read.parquet(stream_dirs["out"]).count() == got.count()
 
 
-def test_watermarked_thread_stats(spark, stream_dirs, corpus_batches):
+def test_watermarked_thread_stats(spark, stream_dirs, corpus_batches,
+                                  drained_stream):
     corpus, b1, b2 = corpus_batches
     thread_stats_stream(spark, stream_dirs["in"] + "/*",
                         stream_dirs["agg_out"], stream_dirs["agg_ckpt"])
@@ -93,7 +104,8 @@ def test_watermarked_thread_stats(spark, stream_dirs, corpus_batches):
     assert len(got_set) > 0
 
 
-def test_incremental_pipeline_equals_batch(spark, stream_dirs, corpus_batches):
+def test_incremental_pipeline_equals_batch(spark, stream_dirs, corpus_batches,
+                                           drained_stream):
     """The full KG built from STREAMED extraction records (accumulated
     across drops + the relational thread tail) must equal the batch
     pipeline's nodes/edges — incremental ingestion is a first-class path,
@@ -103,7 +115,7 @@ def test_incremental_pipeline_equals_batch(spark, stream_dirs, corpus_batches):
 
     corpus, b1, b2 = corpus_batches
     # stream_dirs["out"] holds the accumulated records from both drops
-    # (written by test_streaming_extraction_equals_batch, which runs first)
+    # (drained by the module-scoped drained_stream fixture)
     streamed = spark.read.parquet(stream_dirs["out"])
     records = add_thread_mentions(
         streamed.select("conv_id", "turn_idx", "kind", "surface",
