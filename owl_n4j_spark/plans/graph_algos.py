@@ -284,42 +284,160 @@ FROM walk GROUP BY v ORDER BY user_id
 """
 
 
+LPA_ITERS = 4
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes by label propagation (SURVEY G4 — the reference's
     Louvain use case: semantic-zoom super-nodes). Deterministic fixed-round
-    LPA; no SQL oracle (iterative argmax not SQL-expressible) — algorithm
-    correctness pinned by tests/test_graph_analytics.py fixtures."""
+    synchronous LPA; the oracle is a generated CTE chain — each round is a
+    grouped argmax (row_number over (cnt DESC, lbl)) exactly mirroring the
+    struct-min election. Fixture coverage in tests/test_graph_analytics.py."""
     e = copresence_edges(spark, sf_dir).select(
         F.col("a").alias("src"), F.col("b").alias("dst"))
     return (
-        label_propagation(e, max_iter=4)
+        label_propagation(e, max_iter=LPA_ITERS)
         .groupBy("community").agg(F.count("*").alias("size"))
         .orderBy(F.desc("size"), F.asc("community"))
     )
 
 
+def _lpa_sql() -> str:
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""
+c{i} AS (
+  SELECT s.b AS v, p.lbl, COUNT(*) AS cnt
+  FROM sym s JOIN labels{i - 1} p ON p.v = s.a
+  GROUP BY s.b, p.lbl
+),
+labels{i} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH {_DUCK_EDGES_CTE},
+labels0 AS (SELECT v, v AS lbl FROM verts),
+{','.join(rounds)}
+SELECT lbl AS community, COUNT(*) AS size
+FROM labels{LPA_ITERS}
+GROUP BY lbl
+ORDER BY size DESC, community
+"""
+
+
+SQL_LPA_COMMUNITIES = _lpa_sql()
+
+
+BETWEENNESS_SOURCES = 6
+BETWEENNESS_TOPN = 15
+BETWEENNESS_DEPTH = 12
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source Brandes betweenness (SURVEY G5), top-15. Sources =
-    first 6 vertices — deterministic sample. Rows-only driver check;
-    exactness pinned by path/star fixtures in tests."""
+    first BETWEENNESS_SOURCES vertices — deterministic sample. The oracle
+    mirrors the whole algorithm as generated SQL: a bounded per-level
+    forward BFS (sigma shortest-path counts) followed by the per-level
+    backward dependency accumulation; fixtures in tests pin exactness on
+    path/star graphs."""
     e = copresence_edges(spark, sf_dir).select(
         F.col("a").alias("src"), F.col("b").alias("dst")) \
         .localCheckpoint(eager=True)  # sampled twice: vertex pick + algorithm
     verts = [r["src"] for r in
              e.select("src").unionByName(e.select(F.col("dst").alias("src")))
-             .dropDuplicates().orderBy("src").limit(6).collect()]
+             .dropDuplicates().orderBy("src").limit(BETWEENNESS_SOURCES)
+             .collect()]
     return (
-        betweenness_sampled(e, sources=verts)
+        betweenness_sampled(e, sources=verts, max_depth=BETWEENNESS_DEPTH)
         .select("vertex", F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("vertex"))
-        .limit(15)
+        .limit(BETWEENNESS_TOPN)
     )
+
+
+def _betweenness_sql() -> str:
+    """Generated Brandes mirror (same pattern as the PageRank oracle):
+    forward CTEs lvl0..lvlL carry (source, vertex, sigma) per BFS level —
+    new vertices only via NOT EXISTS against the seen set — and backward
+    CTEs deltaL..delta1 accumulate delta[v] = sum sigma_up/sigma * (1+delta)
+    over successors. Score(v) = sum over sources of delta / 2 (endpoints
+    excluded by summing levels >= 1 only)."""
+    # Every per-level CTE is MATERIALIZED: the L-deep chain references each
+    # lower level several times (forward + backward passes), and DuckDB's
+    # default CTE inlining would expand the chain exponentially (measured:
+    # "Too many open files" from re-opening the parquet per inlined ref).
+    L = BETWEENNESS_DEPTH
+    fwd = []
+    for d in range(1, L + 1):
+        fwd.append(f"""
+lvl{d} AS MATERIALIZED (
+  SELECT s, v, SUM(sigma) AS sigma FROM (
+    SELECT l.s AS s, sym2.b AS v, l.sigma AS sigma
+    FROM lvl{d - 1} l JOIN sym2 ON sym2.a = l.v
+  ) cand
+  WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} x
+                    WHERE x.s = cand.s AND x.v = cand.v)
+  GROUP BY s, v
+),
+seen{d} AS MATERIALIZED (
+  SELECT s, v FROM seen{d - 1} UNION ALL SELECT s, v FROM lvl{d})""")
+    bwd = [f"delta{L} AS MATERIALIZED "
+           f"(SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM lvl{L})"]
+    for d in range(L, 0, -1):
+        bwd.append(f"""
+contrib{d} AS MATERIALIZED (
+  SELECT low.s, up.v, SUM(up.sigma / low.sigma * (1 + low.delta)) AS delta
+  FROM delta{d} low
+  JOIN sym2 ON sym2.a = low.v
+  JOIN lvl{d - 1} up ON up.s = low.s AND up.v = sym2.b
+  GROUP BY low.s, up.v
+)""")
+        if d > 1:
+            bwd.append(f"""
+delta{d - 1} AS MATERIALIZED (
+  SELECT l.s, l.v, l.sigma, coalesce(c.delta, 0) AS delta
+  FROM lvl{d - 1} l LEFT JOIN contrib{d} c ON c.s = l.s AND c.v = l.v
+)""")
+    parts = " UNION ALL ".join(
+        f"SELECT v, delta FROM delta{d}" for d in range(1, L + 1))
+    return f"""
+WITH {_DUCK_EDGES_CTE},
+sym2 AS MATERIALIZED (SELECT a, b FROM sym),
+sources AS (SELECT v AS s FROM verts ORDER BY v LIMIT {BETWEENNESS_SOURCES}),
+lvl0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM sources),
+seen0 AS MATERIALIZED (SELECT s, v FROM lvl0),
+{','.join(fwd)},
+{','.join(bwd)},
+total AS (
+  -- HAVING > 0 mirrors the Spark accumulator, which only ever materializes
+  -- vertices that RECEIVED a dependency contribution (every contribution is
+  -- strictly positive); coalesce-zero leaf vertices must not appear.
+  SELECT v, SUM(delta) / 2 AS score
+  FROM ({parts})
+  GROUP BY v
+  HAVING SUM(delta) > 0
+),
+ranked AS (
+  SELECT v AS vertex, round(score, 4) AS score
+  FROM total
+  ORDER BY round(score, 4) DESC, v
+  LIMIT {BETWEENNESS_TOPN}
+)
+SELECT vertex, score FROM ranked
+"""
+
+
+SQL_BETWEENNESS = _betweenness_sql()
 
 
 GRAPH_REGISTRY = {
     "q_graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
-    "q_lpa_communities": (q_lpa_communities, None),
-    "q_betweenness": (q_betweenness, None),
+    "q_lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
+    "q_betweenness": (q_betweenness, SQL_BETWEENNESS),
     "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
     "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),

@@ -466,7 +466,247 @@ GROUP BY key ORDER BY key
 """
 
 
+# ---------------------------------------------------------------------------
+# A3 — owner inference on the driver surface
+# ---------------------------------------------------------------------------
+
+
+def kg_owner_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device-owner election per conversation (SURVEY A3 — the reference
+    elects the most frequent phone-resolvable Account value,
+    neo4j_writer.py:894-944): vectorized JID→E.164 cascade over the roles,
+    groupBy count, argmax via struct-min. Oracle: the speaker identity is
+    arithmetic on the conv id."""
+    from owl_n4j_spark.operators.owner import infer_owners
+    tr = kg_result(spark, sf_dir)["transcripts"]
+    return infer_owners(tr).orderBy("conv_id")
+
+
+SQL_KG_OWNER_INFERENCE = f"""
+WITH {_BASE_CTE}
+SELECT DISTINCT conv_id, '+' || substring(spk, 7) AS owner_e164
+FROM t ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A11 — unified contacts: canonical-number rollup with interaction counts
+# ---------------------------------------------------------------------------
+
+UNIFIED_CONTACTS_N = 100
+
+
+def kg_unified_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll up every phone-keyed participant across ALL conversations it
+    appears in — as speaker of its own thread AND as counterparty in other
+    users' threads — into one row per canonical number with per-channel
+    interaction counts and first/last seen, ordered busiest-first (the
+    reference's unified-contacts rollup, neo4j_service.py:12150-12547, which
+    merges cross-phone Person nodes by E.164 and reads DENORMALIZED comm
+    counts — here the counts are one aggregation over the triple stream)."""
+    tr = kg_result(spark, sf_dir)["triples"]
+    t = tr.filter(F.col("pred") != "PARTICIPATED_IN")
+    legs = (
+        t.filter(F.col("subj_key").startswith("phone-"))
+        .select(F.col("subj_key").alias("key"), "pred", "ts")
+        .unionByName(
+            t.filter(F.col("obj_key").startswith("phone-"))
+            .select(F.col("obj_key").alias("key"), "pred", "ts"))
+    )
+    cnt = lambda p: F.sum(F.when(F.col("pred") == p, 1).otherwise(0)).cast("bigint")
+    agg = legs.groupBy("key").agg(
+        cnt("SENT_MESSAGE").alias("msg_count"),
+        cnt("CALLED").alias("call_count"),
+        cnt("PAID").alias("paid_count"),
+        F.min(F.unix_timestamp("ts")).alias("first_seen"),
+        F.max(F.unix_timestamp("ts")).alias("last_seen"),
+    )
+    return (
+        agg.select(
+            F.concat(F.lit("+"), F.expr("substring(key, 7, 100)")).alias("canonical"),
+            "msg_count", "call_count", "paid_count",
+            (F.col("msg_count") + F.col("call_count") + F.col("paid_count"))
+            .alias("interactions"),
+            "first_seen", "last_seen")
+        .orderBy(F.desc("interactions"), F.asc("canonical"))
+        .limit(UNIFIED_CONTACTS_N)
+    )
+
+
+SQL_KG_UNIFIED_CONTACTS = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+lt AS (
+  SELECT l.subj_key, l.pred, l.obj_key, t2.ts
+  FROM legs l JOIN t t2 ON l.conv_id = t2.conv_id AND l.turn_idx = t2.turn_idx
+),
+part AS (
+  SELECT subj_key AS key, pred, ts FROM lt WHERE subj_key LIKE 'phone-%'
+  UNION ALL
+  SELECT obj_key, pred, ts FROM lt WHERE obj_key LIKE 'phone-%'
+),
+agg AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN pred = 'SENT_MESSAGE' THEN 1 ELSE 0 END) AS BIGINT) AS msg_count,
+         CAST(SUM(CASE WHEN pred = 'CALLED' THEN 1 ELSE 0 END) AS BIGINT) AS call_count,
+         CAST(SUM(CASE WHEN pred = 'PAID' THEN 1 ELSE 0 END) AS BIGINT) AS paid_count,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_seen,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_seen
+  FROM part GROUP BY key
+)
+SELECT '+' || substring(key, 7) AS canonical,
+       msg_count, call_count, paid_count,
+       msg_count + call_count + paid_count AS interactions,
+       first_seen, last_seen
+FROM agg
+ORDER BY interactions DESC, canonical
+LIMIT {UNIFIED_CONTACTS_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# L8 — hybrid RAG retrieval: text match + vector top-k + KG degree rerank
+# ---------------------------------------------------------------------------
+
+RAG_TERM = "window"
+RAG_TOPK = 10
+RAG_QUERY_VEC = 0
+_W_TEXT, _W_VEC, _W_GRAPH = 0.5, 0.3, 0.2
+
+
+def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most-used query entry point composed as ONE operator
+    (rag_service.py:687-1310: vector top-k + entity match + graph expansion
+    + rerank): per candidate document, fuse
+      - a text leg (term-frequency of the query term),
+      - a vector leg (cosine vs the query embedding),
+      - a graph leg (log-degree of the document's linked KG entity)
+    into a deterministic weighted score and return the top-k. Candidates =
+    documents with an embedding (at 100 TB the ANN bucket join of
+    q_ann_signlsh gates this set; the rerank shape is identical). The query
+    vector is broadcast; the degree table joins on the entity key."""
+    from owl_n4j_spark.plans.relational import load
+    from owl_n4j_spark.plans.text import _SPARK_DOT
+    from owl_n4j_spark.sources.events_transcripts import _universe
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    ev = load(spark, sf_dir, "events")
+    res = kg_result(spark, sf_dir)
+
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1  # 1-row driver read
+    u = _universe()
+    ent_map = spark.createDataFrame(
+        [(p.idx, p.key) for p in u.persons if p.idx < n_users],
+        "uidx long, key string")
+
+    e = res["edges"]
+    deg = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .filter(F.col("key").startswith("phone-"))
+        .groupBy("key").agg(F.count("*").alias("deg"))
+    )
+
+    q = (emb.filter(F.col("vec_id") == RAG_QUERY_VEC)
+         .select(F.col("embedding").alias("qe")))
+    cand = (
+        docs.select("doc_id",
+                    F.regexp_count(F.col("text"), F.lit(RAG_TERM))
+                    .cast("bigint").alias("text_score"))
+        .join(emb.select(F.col("vec_id").alias("doc_id"),
+                         F.col("embedding").alias("ce")), "doc_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("uidx", F.col("doc_id") % n_users)
+        .join(F.broadcast(ent_map), "uidx")
+        .join(F.broadcast(deg), "key", "left")
+        .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)))
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_SPARK_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_SPARK_DOT.format(a="ce", b="ce")))
+    scored = cand.withColumn("cos", dot / (qn * cn))
+    stats = scored.agg(
+        F.max("text_score").alias("max_text"),
+        F.max("deg").alias("max_deg")).withColumn("__one", F.lit(1))
+    scored = (
+        scored.withColumn("__one", F.lit(1))
+        .join(F.broadcast(stats), "__one")
+        .withColumn(
+            "score",
+            F.lit(_W_TEXT) * F.when(F.col("max_text") > 0,
+                                    F.col("text_score") / F.col("max_text"))
+                              .otherwise(F.lit(0.0))
+            + F.lit(_W_VEC) * (F.col("cos") + 1) / 2
+            + F.lit(_W_GRAPH) * F.log(1 + F.col("deg"))
+              / F.log(1 + F.col("max_deg")))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= RAG_TOPK)
+        .select("rank", "doc_id", F.round("score", 6).alias("score"),
+                "text_score", F.round("cos", 6).alias("cosine"),
+                F.col("deg").cast("bigint").alias("entity_degree"))
+        .orderBy("rank")
+    )
+
+
+def _sql_kg_rag_retrieve() -> str:
+    from owl_n4j_spark.plans.text import _DUCK_DOT
+    nu = "(SELECT MAX(user_id) + 1 FROM events)"
+    ent = et._phone_key_sql(f"d.doc_id % {nu}")
+    dot = _DUCK_DOT.format(a="q.qe", b="e.embedding")
+    qn = _DUCK_DOT.format(a="q.qe", b="q.qe")
+    cn = _DUCK_DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+edges AS (SELECT DISTINCT subj_key, pred, obj_key FROM triples),
+deg AS (
+  SELECT key, COUNT(*) AS deg FROM (
+    SELECT subj_key AS key FROM edges
+    UNION ALL SELECT obj_key FROM edges
+  ) WHERE key LIKE 'phone-%' GROUP BY key
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RAG_QUERY_VEC}),
+cand AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text, '{RAG_TERM}')) AS BIGINT) AS text_score,
+         {dot} / (sqrt({qn}) * sqrt({cn})) AS cos,
+         coalesce(dg.deg, 0) AS deg
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  CROSS JOIN q
+  LEFT JOIN deg dg ON dg.key = {ent}
+),
+stats AS (SELECT MAX(text_score) AS max_text, MAX(deg) AS max_deg FROM cand),
+scored AS (
+  SELECT doc_id, text_score, cos, deg,
+         {_W_TEXT} * (CASE WHEN s.max_text > 0
+                           THEN CAST(text_score AS DOUBLE) / s.max_text
+                           ELSE 0.0 END)
+         + {_W_VEC} * (cos + 1) / 2
+         + {_W_GRAPH} * ln(1 + deg) / ln(1 + s.max_deg) AS score
+  FROM cand, stats s
+),
+ranked AS (
+  SELECT doc_id, text_score, cos, deg, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, round(score, 6) AS score, text_score,
+       round(cos, 6) AS cosine, CAST(deg AS BIGINT) AS entity_degree
+FROM ranked WHERE rank <= {RAG_TOPK}
+ORDER BY rank
+"""
+
+
+SQL_KG_RAG_RETRIEVE = _sql_kg_rag_retrieve()
+
+
 KG_ANALYTICS_REGISTRY = {
+    "kg_rag_retrieve": (kg_rag_retrieve, SQL_KG_RAG_RETRIEVE),
+    "kg_owner_inference": (kg_owner_inference, SQL_KG_OWNER_INFERENCE),
+    "kg_unified_contacts": (kg_unified_contacts, SQL_KG_UNIFIED_CONTACTS),
     "kg_date_closure": (kg_date_closure, SQL_KG_DATE_CLOSURE),
     "kg_location_tiles": (kg_location_tiles, SQL_KG_LOCATION_TILES),
     "kg_entity_summaries": (kg_entity_summaries, SQL_KG_ENTITY_SUMMARIES),

@@ -602,7 +602,79 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 """
 
 
+# ---------------------------------------------------------------------------
+# Document chunking (SURVEY F14) — token windows with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30          # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 10
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document — the chunking stage of
+    the reference's ingestion (`/root/reference/ingestion/scripts/
+    chunking.py:88-268` — fixed-size windows with overlap, boundary-snapped;
+    here the boundary unit is the whitespace token, the standard unit for a
+    pretraining pipeline). A trailing window fully contained in the previous
+    chunk's tail (start + overlap >= n_tokens) is not emitted.
+
+    Runs as an Arrow-batched ``mapInPandas`` — the UDF surface every
+    text-heavy stage shares: batch in, variable-many rows out, only hashes
+    and offsets in the shuffle (never the chunk bodies twice)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", text.strip()) if isinstance(text, str) else [""]
+                n = len(toks)
+                for idx, start in enumerate(range(0, max(n, 1), CHUNK_STRIDE)):
+                    if start > 0 and start + overlap >= n:
+                        break
+                    chunk = " ".join(toks[start:start + CHUNK_TOKENS])
+                    out.append((doc_id, idx, start,
+                                min(CHUNK_TOKENS, n - start),
+                                hashlib.md5(chunk.encode()).hexdigest()))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_idx",
+                                             "start_tok", "n_tok", "chunk_md5"])
+
+    return (
+        docs.mapInPandas(run, schema=("doc_id long, chunk_idx int, "
+                                      "start_tok int, n_tok int, chunk_md5 string"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SQL_DOC_CHUNKS = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, len(toks) - start) AS INT) AS n_tok,
+       md5(array_to_string(toks[start + 1 : least(start + {CHUNK_TOKENS}, len(toks))], ' ')) AS chunk_md5
+FROM st
+WHERE start = 0 OR start + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 TEXT_REGISTRY = {
+    "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "q_neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     "q_doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
