@@ -95,24 +95,61 @@ FROM sym GROUP BY a ORDER BY user_id
 """
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count — each triangle a<b<c counted once. The scale
-    shape: two self-joins on the (a<b)-oriented edge list; degree-ordered
-    orientation keeps the join fan-out bounded on skewed graphs."""
-    e = copresence_edges(spark, sf_dir)
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-(degree, id) endpoint to
+    the higher one. On a skewed graph this is what bounds the triangle
+    join: a hub of degree D has NO out-edges to other high-degree vertices,
+    so the wedge join fans out per-vertex by its oriented out-degree
+    (<= sqrt(edges)), not its raw degree — id-only orientation leaves the
+    hub's D^2 wedge blowup in place."""
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
     return (
-        e1.join(e2, "y").join(e3, ["x", "z"])
+        edges.join(da, "a").join(db, "b")
+        .select(F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+                F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("y"))
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """edges(a, b) undirected-unique -> 1-row (n_triangles), each triangle
+    counted once via the degree orientation."""
+    e = oriented_edges(edges)
+    e1 = e.select(F.col("x").alias("u"), F.col("y").alias("v"))
+    e2 = e.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    e3 = e.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    return (
+        e1.join(e2, "v").join(e3, ["u", "w"])
         .agg(F.count("*").alias("n_triangles"))
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count — each triangle counted once. The scale shape:
+    orient every edge low-(degree, id) -> high (oriented_edges), then one
+    wedge self-join + one closing semi-equi-join; the orientation bounds
+    per-vertex fan-out on skewed graphs (the standard degree-ordered
+    triangle algorithm)."""
+    return triangle_count(copresence_edges(spark, sf_dir))
+
+
 SQL_GRAPH_TRIANGLES = f"""
-WITH {_DUCK_EDGES_CTE}
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+ore AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS x,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS y
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+)
 SELECT COUNT(*) AS n_triangles
-FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+FROM ore e1 JOIN ore e2 ON e1.y = e2.x
+            JOIN ore e3 ON e3.x = e1.x AND e3.y = e2.y
 """
 
 

@@ -223,13 +223,37 @@ sh AS (
 """
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs by word-trigram Jaccard >= 0.2.
+SHINGLE_MAX_DOCS = 100
 
-    Scale shape: explode shingles -> equi-join on shingle (bounded by shingle
-    frequency; a stop-shingle cap would go here at 100 TB) -> group by pair.
+
+def _capped_shingles(sh: DataFrame) -> DataFrame:
+    """Drop stop-shingles (document frequency > SHINGLE_MAX_DOCS) BEFORE the
+    pairwise join AND the per-doc size counts — so the similarity is
+    "Jaccard over informative shingles". This is the load-bearing scale cap:
+    a single hot shingle shared by D documents produces a D^2 bucket in the
+    equi-join; the cap bounds every bucket at SHINGLE_MAX_DOCS^2 regardless
+    of corpus size (the standard stop-shingle treatment in shingle-based
+    near-dup at web scale)."""
+    kept = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= SHINGLE_MAX_DOCS).select("shingle"))
+    return sh.join(kept, on="shingle", how="leftsemi")
+
+
+_DUCK_CAPPED_SH = f"""
+kept AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {SHINGLE_MAX_DOCS}),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle))
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-trigram Jaccard >= 0.2 over
+    non-stop shingles (document frequency <= SHINGLE_MAX_DOCS).
+
+    Scale shape: explode shingles -> stop-shingle cap -> equi-join on
+    shingle (every bucket bounded by the cap) -> group by pair.
     """
-    sh = _shingles_df(spark, sf_dir)
+    sh = _capped_shingles(_shingles_df(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -256,10 +280,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD_PAIRS = rf"""
 WITH {_DUCK_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+{_DUCK_CAPPED_SH},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, common,
@@ -582,10 +607,11 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NEARDUP_SURVIVORS = rf"""
 WITH {_DUCK_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+{_DUCK_CAPPED_SH},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
 ),
 dups AS (
