@@ -63,6 +63,13 @@ def main():
     kg_sec, kg_stats = bench_kg_pipeline(spark, sf_dir)
     queries["kg_pipeline"] = round(kg_sec, 3)
 
+    # Build the shared KG serving warehouse ONCE, timed under its own name,
+    # so the first kg_* query doesn't absorb the whole pipeline cost.
+    from owl_n4j_spark.plans.kg_analytics import kg_result
+    t = time.time()
+    kg_result(spark, sf_dir)["edges"].count()
+    queries["kg_warehouse_build"] = round(time.time() - t, 3)
+
     for name, (fn, _sql) in REGISTRY.items():
         t = time.time()
         df = fn(spark, sf_dir)
