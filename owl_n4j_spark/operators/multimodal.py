@@ -117,6 +117,29 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def normalize_exif_metadata(meta: DataFrame) -> DataFrame:
+    """EXIF sidecar metadata -> typed columns, all inside whole-stage
+    codegen (SURVEY S3 — the reference's per-file tag harvest,
+    cellebrite/parser.py:33-95): datetime tags to ISO strings, sexagesimal
+    GPS + hemisphere refs to signed decimal degrees. Expects columns
+    (media_id, exif_dt, capture_time_us, gps_lat, gps_lat_ref, gps_lon,
+    gps_lon_ref); malformed values become NULL, never a failed batch."""
+    from pyspark.sql import functions as F
+
+    from owl_n4j_spark.functions.exif import (
+        exif_dt_to_iso,
+        exif_gps_to_decimal,
+        us_dt_to_iso,
+    )
+    return meta.select(
+        "media_id",
+        exif_dt_to_iso(F.col("exif_dt")).alias("taken_at"),
+        us_dt_to_iso(F.col("capture_time_us")).alias("captured_at"),
+        exif_gps_to_decimal(F.col("gps_lat"), F.col("gps_lat_ref")).alias("lat"),
+        exif_gps_to_decimal(F.col("gps_lon"), F.col("gps_lon_ref")).alias("lon"),
+    )
+
+
 def synth_media(spark, n: int, seed: int = 42, n_partitions: int = 4) -> DataFrame:
     """Deterministic synthetic media table for tests/benchmarks."""
 

@@ -703,8 +703,155 @@ ORDER BY rank
 SQL_KG_RAG_RETRIEVE = _sql_kg_rag_retrieve()
 
 
+# ---------------------------------------------------------------------------
+# J4 — explicit entity -> conversation MENTIONED_IN projection
+# ---------------------------------------------------------------------------
+
+
+def kg_mentioned_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MENTIONED_IN edges: canonical entity -> conversation with mention
+    weight (the reference links every entity to its source document,
+    neo4j_client.py MENTIONED_IN MERGEs; SURVEY J4). One aggregation over
+    the canonical mention stream."""
+    m = kg_result(spark, sf_dir)["mentions"]
+    return (
+        m.groupBy(F.col("mention_key").alias("key"), "conv_id")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("key", "conv_id")
+    )
+
+
+SQL_KG_MENTIONED_IN = f"""
+WITH {_BASE_CTE},
+mlegs AS (
+  SELECT spk AS key, conv_id FROM t                 -- speaker identity (role)
+  UNION ALL                                         -- name mention of A -> canonical phone
+  SELECT spk, conv_id FROM t WHERE event_type != 'error'
+  UNION ALL
+  SELECT oth, conv_id FROM t WHERE event_type IN ('purchase', 'view')
+  UNION ALL
+  SELECT {et._city_key_case()}, conv_id FROM t WHERE event_type = 'click'
+  UNION ALL
+  SELECT {et._org_key_case()}, conv_id FROM t WHERE event_type = 'signup'
+  UNION ALL
+  SELECT chat, conv_id FROM (SELECT DISTINCT chat, conv_id FROM t)
+)
+SELECT key, conv_id, COUNT(*) AS n_mentions
+FROM mlegs
+GROUP BY key, conv_id
+ORDER BY key, conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A13 — per-entity fact merge: payment facts rolled up per (payer, payee)
+# ---------------------------------------------------------------------------
+
+
+def kg_payment_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge duplicate-evidence facts per entity pair (the reference dedups
+    facts by normalized text per entity and keeps merged evidence — SURVEY
+    A13): every PAID triple carries normalized amount/date evidence
+    (F2/normalize_amount); rollup = n_payments, total, first/last date."""
+    tr = kg_result(spark, sf_dir)["triples"]
+    paid = tr.filter(F.col("pred") == "PAID")
+    return (
+        paid.groupBy(F.col("subj_key").alias("payer"),
+                     F.col("obj_key").alias("payee"))
+        .agg(F.count("*").alias("n_payments"),
+             F.round(F.sum(F.col("amount").cast("double")), 2)
+              .alias("total_amount"),
+             F.min("date").alias("first_date"),
+             F.max("date").alias("last_date"))
+        .orderBy("payer", "payee")
+    )
+
+
+SQL_KG_PAYMENT_FACTS = f"""
+WITH {_BASE_CTE}
+SELECT spk AS payer, oth AS payee,
+       COUNT(*) AS n_payments,
+       round(SUM(round(value, 2)), 2) AS total_amount,
+       MIN(strftime(ts, '%Y-%m-%d')) AS first_date,
+       MAX(strftime(ts, '%Y-%m-%d')) AS last_date
+FROM t
+WHERE event_type = 'purchase'
+GROUP BY spk, oth
+ORDER BY payer, payee
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — fact-importance ranking: top entities by mention volume + degree
+# ---------------------------------------------------------------------------
+
+TOP_ENTITIES_N = 20
+
+
+def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-ranked entities (SURVEY T6 — the reference sorts facts and
+    entity panels by importance): score = mention volume + graph degree,
+    deterministic tie-break on key."""
+    res = kg_result(spark, sf_dir)
+    mc = (res["mentions"].groupBy(F.col("mention_key").alias("key"))
+          .agg(F.count("*").alias("n_mentions")))
+    e = res["edges"]
+    deg = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .groupBy("key").agg(F.count("*").alias("degree"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("key"))
+    return (
+        mc.join(deg, "key", "left")
+        .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
+        .withColumn("score", F.col("n_mentions") + F.col("degree"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_ENTITIES_N)
+        .select("rank", "key", "score", "n_mentions",
+                F.col("degree").cast("bigint").alias("degree"))
+        .orderBy("rank")
+    )
+
+
+SQL_KG_TOP_ENTITIES = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+mlegs AS (
+  SELECT spk AS key FROM t
+  UNION ALL SELECT spk FROM t WHERE event_type != 'error'
+  UNION ALL SELECT oth FROM t WHERE event_type IN ('purchase', 'view')
+  UNION ALL SELECT {et._city_key_case()} FROM t WHERE event_type = 'click'
+  UNION ALL SELECT {et._org_key_case()} FROM t WHERE event_type = 'signup'
+  UNION ALL SELECT chat FROM (SELECT DISTINCT chat, conv_id FROM t)
+),
+mc AS (SELECT key, COUNT(*) AS n_mentions FROM mlegs GROUP BY key),
+edges AS (SELECT DISTINCT subj_key, pred, obj_key FROM triples),
+deg AS (
+  SELECT key, COUNT(*) AS degree FROM (
+    SELECT subj_key AS key FROM edges UNION ALL SELECT obj_key FROM edges
+  ) GROUP BY key
+),
+scored AS (
+  SELECT mc.key, mc.n_mentions, coalesce(deg.degree, 0) AS degree,
+         mc.n_mentions + coalesce(deg.degree, 0) AS score
+  FROM mc LEFT JOIN deg USING (key)
+),
+ranked AS (
+  SELECT key, score, n_mentions, degree,
+         row_number() OVER (ORDER BY score DESC, key) AS rank
+  FROM scored
+)
+SELECT rank, key, score, n_mentions, CAST(degree AS BIGINT) AS degree
+FROM ranked WHERE rank <= {TOP_ENTITIES_N}
+ORDER BY rank
+"""
+
+
 KG_ANALYTICS_REGISTRY = {
     "kg_rag_retrieve": (kg_rag_retrieve, SQL_KG_RAG_RETRIEVE),
+    "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
+    "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
+    "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),
     "kg_owner_inference": (kg_owner_inference, SQL_KG_OWNER_INFERENCE),
     "kg_unified_contacts": (kg_unified_contacts, SQL_KG_UNIFIED_CONTACTS),
     "kg_date_closure": (kg_date_closure, SQL_KG_DATE_CLOSURE),

@@ -699,8 +699,42 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+SUMMARY_TOKENS = 12
+
+
+def q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic extractive document summary (SURVEY L4 — the reference
+    prompts an LLM per document, llm_client.py:699-777; the deterministic
+    re-expression keeps the exact per-doc string contract testable): lead
+    tokens + token count, one row per doc, exact string oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    lead = F.concat_ws(" ", F.slice(toks, 1, SUMMARY_TOKENS))
+    return (
+        docs.select(
+            "doc_id",
+            F.concat(lead, F.lit(" ... ("), F.size(toks).cast("string"),
+                     F.lit(" tokens)")).alias("summary"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_SUMMARY = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(toks[1:{SUMMARY_TOKENS}], ' ')
+         || ' ... (' || CAST(len(toks) AS VARCHAR) || ' tokens)' AS summary
+FROM w
+ORDER BY doc_id
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
     "q_doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "q_neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     "q_doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
