@@ -62,6 +62,71 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
                          F.col("lbl").alias("community"))
 
 
+def louvain_communities(edges: DataFrame, resolution: tuple[int, int] = (1, 1),
+                        max_rounds: int = 4) -> DataFrame:
+    """edges(src, dst) undirected -> (vertex, community) by synchronous
+    modularity local moves — the Louvain phase-1 objective with a tunable
+    resolution (the reference exposes resolution-tunable Louvain,
+    neo4j_service.py:1641-1885; its Python loop is single-machine).
+
+    Each round every vertex evaluates, over its neighbour communities plus
+    its own, the resolution-scaled modularity gain
+        score(c) = k_{v,c} - gamma * k_v * sum_c / (2m)
+    and adopts the argmax (ties: keep the current community, then smallest
+    label). ``resolution`` is a rational (num, den) and the score is
+    computed as the INTEGER  den*2m*k_vc - num*k_v*sum_c  — no floating
+    point anywhere, so the generated SQL oracle is bit-exact. (At extreme
+    scale the product can approach int64 range: 2m * k_vc overflows only
+    past ~2^63, i.e. graphs with > ~3e9 edges AND hub counts to match —
+    switch to decimal then.)
+
+    Distributed shape per round: one join + two aggregations (community
+    totals, vertex->community edge counts), then an algebraic struct-min
+    election — all map-side combinable; rounds are fixed so output is
+    deterministic regardless of convergence."""
+    rn, rd = resolution
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    deg = (sym.groupBy(F.col("a").alias("v"))
+           .agg(F.count("*").alias("k")).localCheckpoint(eager=True))
+    two_m = sym.count()
+    labels = deg.select("v", F.col("v").alias("lbl"))
+    for _ in range(max_rounds):
+        tot = (labels.join(deg, "v")
+               .groupBy("lbl").agg(F.sum("k").alias("tot")))
+        kvc = (
+            sym.join(labels.withColumnRenamed("v", "a")
+                     .withColumnRenamed("lbl", "nlbl"), on="a")
+            .groupBy(F.col("b").alias("v"), F.col("nlbl").alias("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        own = labels.select("v", F.col("lbl").alias("own_lbl"))
+        cand = (
+            kvc.unionByName(own.select("v", F.col("own_lbl").alias("lbl"))
+                            .withColumn("cnt", F.lit(0).cast("long")))
+            .groupBy("v", "lbl").agg(F.max("cnt").alias("cnt"))
+            .join(own, "v")
+            .join(deg, "v")
+            .join(tot, "lbl")
+            .withColumn("tot_adj", F.col("tot") - F.when(
+                F.col("lbl") == F.col("own_lbl"), F.col("k")).otherwise(0))
+            .withColumn("score",
+                        F.lit(rd) * F.lit(two_m) * F.col("cnt")
+                        - F.lit(rn) * F.col("k") * F.col("tot_adj"))
+        )
+        labels = (
+            cand.groupBy("v")
+            .agg(F.min(F.struct(
+                (-F.col("score")).alias("ns"),
+                F.when(F.col("lbl") == F.col("own_lbl"), 0).otherwise(1)
+                 .alias("not_own"),
+                F.col("lbl").alias("l"))).alias("e"))
+            .select("v", F.col("e.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("v").alias("vertex"),
+                         F.col("lbl").alias("community"))
+
+
 def betweenness_sampled(edges: DataFrame, sources: list,
                         max_depth: int = 12) -> DataFrame:
     """edges(src, dst) undirected + explicit source set -> (vertex, score).

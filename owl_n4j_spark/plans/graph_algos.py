@@ -20,6 +20,7 @@ from owl_n4j_spark.operators.canonicalize import connected_components
 from owl_n4j_spark.operators.graph_analytics import (
     betweenness_sampled,
     label_propagation,
+    louvain_communities,
 )
 from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
 from owl_n4j_spark.plans.relational import load
@@ -380,6 +381,84 @@ ORDER BY size DESC, community
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+LOUVAIN_ROUNDS = 4
+LOUVAIN_RESOLUTION = (1, 1)
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity communities with resolution (SURVEY G4 proper — the
+    reference's resolution-tunable Louvain): community sizes after
+    LOUVAIN_ROUNDS synchronous local-move rounds. The score arithmetic is
+    integer-scaled, so the generated SQL oracle is bit-exact."""
+    e = copresence_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
+    return (
+        louvain_communities(e, resolution=LOUVAIN_RESOLUTION,
+                            max_rounds=LOUVAIN_ROUNDS)
+        .groupBy("community").agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
+
+
+def _louvain_sql() -> str:
+    rn, rd = LOUVAIN_RESOLUTION
+    rounds = []
+    for i in range(1, LOUVAIN_ROUNDS + 1):
+        rounds.append(f"""
+tot{i} AS MATERIALIZED (
+  SELECT l.lbl, SUM(d.k) AS tot
+  FROM labels{i - 1} l JOIN deg d ON d.v = l.v
+  GROUP BY l.lbl
+),
+kvc{i} AS MATERIALIZED (
+  SELECT s.b AS v, p.lbl, COUNT(*) AS cnt
+  FROM sym2 s JOIN labels{i - 1} p ON p.v = s.a
+  GROUP BY s.b, p.lbl
+),
+cand{i} AS MATERIALIZED (
+  SELECT c.v, c.lbl, MAX(c.cnt) AS cnt FROM (
+    SELECT v, lbl, cnt FROM kvc{i}
+    UNION ALL SELECT v, lbl, CAST(0 AS BIGINT) FROM labels{i - 1}
+  ) c GROUP BY c.v, c.lbl
+),
+scored{i} AS MATERIALIZED (
+  SELECT c.v, c.lbl, o.lbl AS own_lbl,
+         {rd} * (SELECT tm FROM two_m) * c.cnt
+           - {rn} * d.k * (t.tot - CASE WHEN c.lbl = o.lbl THEN d.k ELSE 0 END)
+           AS score
+  FROM cand{i} c
+  JOIN labels{i - 1} o ON o.v = c.v
+  JOIN deg d ON d.v = c.v
+  JOIN tot{i} t ON t.lbl = c.lbl
+),
+labels{i} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (
+             PARTITION BY v
+             ORDER BY score DESC,
+                      CASE WHEN lbl = own_lbl THEN 0 ELSE 1 END,
+                      lbl) AS rn
+    FROM scored{i}
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH {_DUCK_EDGES_CTE},
+sym2 AS MATERIALIZED (SELECT a, b FROM sym),
+deg AS MATERIALIZED (SELECT a AS v, COUNT(*) AS k FROM sym2 GROUP BY a),
+two_m AS (SELECT COUNT(*) AS tm FROM sym2),
+labels0 AS MATERIALIZED (SELECT v, v AS lbl FROM verts),
+{','.join(rounds)}
+SELECT lbl AS community, COUNT(*) AS size
+FROM labels{LOUVAIN_ROUNDS}
+GROUP BY lbl
+ORDER BY size DESC, community
+"""
+
+
+SQL_LOUVAIN = _louvain_sql()
+
+
 BETWEENNESS_SOURCES = 6
 BETWEENNESS_TOPN = 15
 BETWEENNESS_DEPTH = 12
@@ -485,6 +564,7 @@ SQL_BETWEENNESS = _betweenness_sql()
 GRAPH_REGISTRY = {
     "q_graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
     "q_lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
+    "q_louvain": (q_louvain, SQL_LOUVAIN),
     "q_betweenness": (q_betweenness, SQL_BETWEENNESS),
     "q_graph_degree": (q_graph_degree, SQL_GRAPH_DEGREE),
     "q_graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),

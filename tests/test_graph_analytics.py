@@ -67,3 +67,37 @@ def test_cc_hub_skew(spark):
     assert comps.select("canonical_key").distinct().count() == 1
     assert comps.first()["canonical_key"] == "phone-12025550123"
     assert comps.count() == 20_001
+
+
+def test_louvain_two_cliques_with_bridge(spark):
+    """Two K4 cliques joined by one bridge edge: modularity local moves at
+    resolution 1 must put each clique in its own community."""
+    from owl_n4j_spark.operators.graph_analytics import louvain_communities
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {r["vertex"]: r["community"]
+           for r in louvain_communities(edges).collect()}
+    left = {got[v] for v in range(4)}
+    right = {got[v] for v in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_louvain_resolution_splits(spark):
+    """Higher resolution penalizes size: the same graph yields at least as
+    many communities at gamma=4 as at gamma=1 (classic resolution limit)."""
+    from owl_n4j_spark.operators.graph_analytics import louvain_communities
+    # ring of 4 triangles, adjacent triangles share one vertex
+    tris = []
+    for t in range(4):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        tris += [(a, b), (a, c), (b, c)]
+    ring = [(2, 3), (5, 6), (8, 9), (11, 0)]
+    edges = spark.createDataFrame(tris + ring, "src long, dst long")
+    n_lo = (louvain_communities(edges, resolution=(1, 1))
+            .select("community").distinct().count())
+    n_hi = (louvain_communities(edges, resolution=(4, 1))
+            .select("community").distinct().count())
+    assert n_hi >= n_lo
+    assert n_lo >= 2  # triangles must not all collapse into one community
