@@ -224,10 +224,18 @@ def run_pipeline(
 
     if with_manifest:
         if records_df is None:
-            n_in = transcripts.count()
+            # quarantined = rows REJECTED (no thread identity/position);
+            # duplicate-turn collapse is NOT quarantine — it shows as the
+            # in_rows/out_rows gap beyond the quarantine count (VERDICT r01
+            # flagged the old n_in - n_clean, which conflated the two).
+            agg = transcripts.agg(
+                F.count("*").alias("n_in"),
+                F.count(F.when(F.col("conv_id").isNotNull()
+                               & F.col("turn_idx").isNotNull(), 1))
+                 .alias("n_valid")).collect()[0]
             n_clean = clean.count()
-            mw.record("normalize", in_rows=n_in, out_df=clean,
-                      quarantined=n_in - n_clean)
+            mw.record("normalize", in_rows=agg["n_in"], out_df=clean,
+                      quarantined=agg["n_in"] - agg["n_valid"])
             mw.record("extract", in_rows=n_clean, out_df=records)
         else:
             mw.record("extract_external", in_rows=records.count(),

@@ -345,19 +345,24 @@ CITY_COORDS = {
     for i, c in enumerate(_CITIES)
 }
 TILE_DEG = 10.0
+TILE_TOP_N = 5000
 
 
 def kg_location_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocode Location nodes via broadcast gazetteer join, then tile-bin
     (floor(lat/c), floor(lon/c)) with count + centroid (SURVEY A9 —
     neo4j_service.py:11174-11289). Weight = TRAVELED_TO edge weight so the
-    tiles reflect activity volume, not node count."""
+    tiles reflect activity volume, not node count. Capped at the
+    TILE_TOP_N busiest tiles (deterministic tie-break) — the reference's
+    top-5000 response cap (SURVEY T2); a map client never needs more."""
     res = kg_result(spark, sf_dir)
     geo = spark.createDataFrame(
         [(k, lat, lon) for k, (lat, lon) in sorted(CITY_COORDS.items())],
         "key string, lat double, lon double")
     visits = (res["edges"].filter(F.col("rel_type") == "TRAVELED_TO")
               .select(F.col("dst_key").alias("key"), "weight"))
+    w = Window.orderBy(F.desc("n_visits"), F.asc("tile_lat"),
+                       F.asc("tile_lon"))
     return (
         visits.join(F.broadcast(geo), "key")
         .groupBy(
@@ -368,6 +373,8 @@ def kg_location_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("centroid_lat"),
              F.round(F.sum(F.col("lon") * F.col("weight")) / F.sum("weight"), 6)
               .alias("centroid_lon"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= TILE_TOP_N).drop("__r")
         .orderBy("tile_lat", "tile_lon")
     )
 
@@ -382,14 +389,22 @@ visits AS (
   SELECT obj_key AS key, COUNT(*) AS weight
   FROM triples WHERE pred = 'TRAVELED_TO'
   GROUP BY subj_key, obj_key
+),
+tiles AS (
+  SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
+         CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
+         SUM(weight) AS n_visits,
+         round(SUM(lat * weight) / SUM(weight), 6) AS centroid_lat,
+         round(SUM(lon * weight) / SUM(weight), 6) AS centroid_lon
+  FROM visits JOIN geo USING (key)
+  GROUP BY tile_lat, tile_lon
+),
+capped AS (
+  SELECT *, row_number() OVER (ORDER BY n_visits DESC, tile_lat, tile_lon) AS r
+  FROM tiles
 )
-SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
-       CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
-       SUM(weight) AS n_visits,
-       round(SUM(lat * weight) / SUM(weight), 6) AS centroid_lat,
-       round(SUM(lon * weight) / SUM(weight), 6) AS centroid_lon
-FROM visits JOIN geo USING (key)
-GROUP BY tile_lat, tile_lon
+SELECT tile_lat, tile_lon, n_visits, centroid_lat, centroid_lon
+FROM capped WHERE r <= {TILE_TOP_N}
 ORDER BY tile_lat, tile_lon
 """
 
