@@ -26,7 +26,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
     """Headline: transcripts -> extract -> link -> canonicalize ->
     materialize, cold (no warehouse reuse). Also times the triple-extraction
     stage alone — the BASELINE.json metric."""
-    from owl_n4j_spark.operators.extraction import extract_records
+    from owl_n4j_spark.operators.extraction import get_extractor
+    extract_records = get_extractor()
 
     transcripts = et.transcripts_from_events(spark, sf_dir)
     alias_dict = et.alias_dict_df(spark)

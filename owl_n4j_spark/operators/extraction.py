@@ -264,6 +264,32 @@ def extract_records_stateless(transcripts: DataFrame,
     return transcripts.mapInPandas(run, schema=EXTRACTION_SCHEMA)
 
 
+DEFAULT_ENGINE = "vec"
+
+
+def get_extractor(name: str = DEFAULT_ENGINE):
+    """Extraction engine selector — all three are record-for-record equal
+    (tested):
+
+    - 'vec'    (default): Arrow-native RE2 extract + columnar record build
+      (extraction_vec.py) — measured 166-181k turns/s at local[8] on 1.06M
+      turns vs 150-155k for 'pandas'.
+    - 'pandas': per-turn compiled-re loop with early exit — the r01 default;
+      still beats 'sql' because the workload is regex-bound.
+    - 'sql':    pure column expressions, whole-stage codegen, zero Python
+      (extraction_sql.py) — 50k turns/s; the zero-Python deployment option.
+    """
+    if name == "vec":
+        from owl_n4j_spark.operators.extraction_vec import extract_records_vec
+        return extract_records_vec
+    if name == "pandas":
+        return extract_records
+    if name == "sql":
+        from owl_n4j_spark.operators.extraction_sql import extract_records_sql
+        return extract_records_sql
+    raise ValueError(f"unknown extraction engine: {name!r}")
+
+
 def extract_records(transcripts: DataFrame,
                     gazetteer: list[str] | None = None) -> DataFrame:
     """transcripts -> long-format extraction records (Arrow-batched).

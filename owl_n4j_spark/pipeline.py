@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from owl_n4j_spark.manifest import ManifestWriter, stage_is_committed
 from owl_n4j_spark.operators.canonicalize import canonical_mapping
-from owl_n4j_spark.operators.extraction import extract_records
+from owl_n4j_spark.operators.extraction import get_extractor
 from owl_n4j_spark.operators.linking import build_key_mapping, remap_keys
 from owl_n4j_spark.operators.materialize import (
     build_edges,
@@ -79,17 +79,16 @@ def run_pipeline(
     resume: bool = True,
     with_manifest: bool = True,
     gazetteer: list[str] | None = None,
-    engine: str = "pandas",
+    engine: str = "vec",
     records_df: DataFrame | None = None,
 ) -> PipelineResult:
-    """``engine``: 'pandas' (default) is the Arrow-batched extractor —
-    MEASURED FASTER than the all-JVM variant (84k vs 50k turns/sec at
-    local[8] on 2.65M turns) because this workload is regex-bound, not
-    serialization-bound: one compiled-re pass with early exit beats
-    per-column regexp_extract re-evaluation. 'sql' runs extraction as pure
-    column expressions inside whole-stage codegen
-    (operators/extraction_sql.py) — record-for-record equal (tested), kept
-    as the zero-Python deployment option.
+    """``engine``: see operators/extraction.get_extractor — 'vec' (default,
+    Arrow-native RE2 extract, measured 166-181k turns/s at local[8]),
+    'pandas' (per-turn compiled-re loop, 150-155k), 'sql' (pure column
+    expressions inside whole-stage codegen, 50k — the zero-Python option).
+    All three are record-for-record equal (tested); the workload is
+    regex-bound, not serialization-bound, which is why the all-JVM variant
+    trails the Arrow engines.
 
     ``records_df``: pre-extracted records (e.g. accumulated by the
     Structured-Streaming incremental extractor plus the relational
@@ -140,13 +139,7 @@ def run_pipeline(
     if records_df is not None:
         records = staged("t02_records", lambda: records_df)
     else:
-        if engine == "sql":
-            from owl_n4j_spark.operators.extraction_sql import (
-                extract_records_sql,
-            )
-            extract_fn = extract_records_sql
-        else:
-            extract_fn = extract_records
+        extract_fn = get_extractor(engine)
         records = staged("t02_records", lambda: extract_fn(clean, gazetteer))
     mentions_raw = records.filter(F.col("kind") == "mention")
     triples_raw = records.filter(F.col("kind") == "triple")

@@ -60,7 +60,8 @@ def gen_input():
 
 
 def run_at(n_threads: int, n_turns: int) -> dict:
-    from owl_n4j_spark.operators.extraction import extract_records
+    from owl_n4j_spark.operators.extraction import get_extractor
+    extract_records = get_extractor()
     from owl_n4j_spark.pipeline import run_pipeline
     from owl_n4j_spark.synth import alias_dict_pandas, universe_for
 
