@@ -199,15 +199,30 @@ _DUCK_SHINGLES = (
 )
 
 
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct — needs >= 3 tokens per doc."""
-    docs = load(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("__w", _tokens_col())
-        .filter(F.size("__w") >= 3)
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    """(doc_id, shingle) distinct — needs >= 3 tokens per doc.
+
+    Materialized once per (session, sf_dir) to a parquet warehouse: the
+    Jaccard pair join, the neardup pruning, and the MinHash signatures all
+    consume this table (same shared-subplan rule as the co-presence edge
+    warehouse in plans/graph_algos.py)."""
+    from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
+    key = _cache_key(spark, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        sh = (
+            docs.withColumn("__w", _tokens_col())
+            .filter(F.size("__w") >= 3)
+            .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"])
+        )
+        path = warehouse_dir(spark, sf_dir, "shingles")
+        sh.write.mode("overwrite").parquet(path)
+        _SHINGLE_CACHE[key] = spark.read.parquet(path)
+    return _SHINGLE_CACHE[key]
 
 
 _DUCK_SHINGLES_CTE = rf"""

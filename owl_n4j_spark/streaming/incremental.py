@@ -73,6 +73,88 @@ def run_incremental_extraction(
     q.awaitTermination()
 
 
+SESSION_GAP_S = 1800
+
+
+def session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = SESSION_GAP_S,
+    watermark: str = "1 hour",
+) -> None:
+    """Custom STATEFUL streaming operator (SURVEY §2.11 / W5 as a stream):
+    per-conversation gap sessionization via ``applyInPandasWithState``.
+
+    State per conv_id = the open session (start, last, n_turns) in epoch
+    seconds. Each micro-batch folds its turns into the open session,
+    emitting every session that CLOSES (next turn > gap_s later); the open
+    tail session stays in the state store with an event-time timeout at
+    last + gap_s — when the watermark passes it, the timeout fires and the
+    session is emitted exactly once. This is the operator Spark's built-in
+    windowed aggs can't express (variable-length windows keyed by data
+    gaps) and the reason applyInPandasWithState exists.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tr = read_transcript_stream(spark, input_dir).withWatermark("ts", watermark)
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({"conv_id": [conv_id],
+                                "session_start": [start], "session_end": [last],
+                                "n_turns": [n]})
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.timestamp()) for t in pdf["ts"] if t is not None)
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+            # event-time timeout must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max((last + gap_s) * 1000,
+                    state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {"conv_id": [conv_id] * len(closed),
+             "session_start": [c[0] for c in closed],
+             "session_end": [c[1] for c in closed],
+             "n_turns": [c[2] for c in closed]})
+
+    out = tr.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=("conv_id string, session_start long, "
+                          "session_end long, n_turns long"),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def thread_stats_stream(
     spark: SparkSession,
     input_dir: str,

@@ -134,3 +134,53 @@ def test_incremental_pipeline_equals_batch(spark, stream_dirs, corpus_batches,
     e_bat = sorted(map(tuple, batch["edges"].select(
         "src_key", "dst_key", "rel_type", "weight").collect()))
     assert e_inc == e_bat
+
+
+def test_stateful_session_stream(spark, tmp_path_factory):
+    """applyInPandasWithState gap sessionization: sessions closed by a
+    later turn emit in-batch; the open tail emits via event-time timeout
+    once the watermark passes it. Result must equal batch sessionization
+    over the same turns."""
+    import pandas as pd
+    from owl_n4j_spark.streaming.incremental import SESSION_GAP_S, session_stream
+
+    root = tmp_path_factory.mktemp("sess")
+    d = {k: str(root / k) for k in ["in", "out", "ckpt"]}
+    for v in d.values():
+        os.makedirs(v, exist_ok=True)
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+
+    def turns(conv, times):
+        return pd.DataFrame({
+            "conv_id": conv,
+            "turn_idx": pd.Series(range(len(times)), dtype="int32"),
+            "role": "u", "text": "ok", "tool": "t", "ts": times})
+
+    # conv a: two sessions (3 turns, gap, 2 turns); conv b: one session
+    a_times = [base, base + pd.Timedelta("5 min"), base + pd.Timedelta("10 min"),
+               base + 2 * gap, base + 2 * gap + pd.Timedelta("1 min")]
+    b_times = [base + pd.Timedelta("2 min"), base + pd.Timedelta("7 min")]
+    drop1 = pd.concat([turns("a", a_times), turns("b", b_times)])
+    _write_drop(spark, drop1, d["in"], "drop1")
+    session_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
+
+    # sentinel far in the future advances the watermark past every open
+    # session's timeout on the next run
+    sentinel = turns("zz", [base + pd.Timedelta("30 days")])
+    _write_drop(spark, sentinel, d["in"], "drop2")
+    session_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
+
+    got = {(r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+           for r in spark.read.parquet(d["out"]).collect()}
+    e = lambda t: int(t.timestamp())
+    want = {
+        ("a", e(a_times[0]), e(a_times[2]), 3),
+        ("a", e(a_times[3]), e(a_times[4]), 2),
+        ("b", e(b_times[0]), e(b_times[1]), 2),
+    }
+    assert want <= got
+    # nothing except the sentinel's own (possibly still-open) session extra
+    extra = got - want
+    assert all(c == "zz" for c, *_ in extra)
