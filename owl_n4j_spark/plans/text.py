@@ -104,34 +104,102 @@ ORDER BY doc_id
 """
 
 
+# Character-n-gram language profiles: high-frequency function-word /
+# orthography signatures per language. Occurrence counting is substring
+# replace arithmetic — exact, regex-free, identical in Spark and DuckDB.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " is ", "ing "),
+    "de": (" der ", " und ", " die ", " ist ", "sch"),
+    "es": (" el ", " los ", " que ", " es ", "ción"),
+    "fr": (" le ", " les ", " est ", " une ", " des "),
+}
+_CJK_SPARK = r"[一-鿿]"
+_CJK_DUCK = r"[\x{4e00}-\x{9fff}]"
+
+
+def lang_scores(text: F.Column) -> dict[str, F.Column]:
+    """Per-language evidence score: total occurrences of the language's
+    signature n-grams in ' text ' (padded so word-boundary grams match at
+    the edges). Pure column arithmetic — replace-based substring counting,
+    no UDF, whole-stage codegen."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    scores = {}
+    for lang, grams in LANG_PROFILES.items():
+        s = F.lit(0)
+        for g in grams:
+            s = s + (F.length(padded)
+                     - F.length(F.replace(padded, F.lit(g), F.lit("")))) \
+                / len(g)
+        scores[lang] = s.cast("bigint")
+    scores["zh"] = F.regexp_count(text, F.lit(_CJK_SPARK)).cast("bigint")
+    return scores
+
+
+def predict_lang(text: F.Column) -> F.Column:
+    """argmax over the profile scores, ties to the first language in
+    LANG_ORDER, 'unk' when no profile matches at all."""
+    sc = lang_scores(text)
+    mx = F.greatest(*sc.values())
+    pred = F.lit("unk")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(sc[lang] == mx, F.lit(lang)).otherwise(pred)
+    return F.when(mx > 0, pred).otherwise(F.lit("unk"))
+
+
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (n-gram/stopword evidence) vs the labeled lang
-    column — confusion counts. Deterministic rule: presence of English
-    function words -> 'en', else 'unk' (the corpus is word-soup; the point
-    is the plumbing: per-doc vectorized scoring + grouped confusion)."""
+    """Language ID by char-n-gram profile scoring (the fastText/langid
+    method family, deterministic): per-language signature-gram occurrence
+    counts -> argmax, confusion matrix vs the labeled lang column. The
+    driver corpus is language-less word-soup (every label shares one
+    vocabulary), so the matrix here mostly shows 'en'/'unk' — the
+    classifier's actual discrimination is pinned on real multilingual
+    snippets in tests/test_lang_id.py."""
     docs = load(spark, sf_dir, "documents")
-    toks = rf"split(trim(text), '\\s+')"
-    pred = F.when(
-        F.expr(rf"size(filter({toks}, x -> x IN ('the', 'a', 'is', 'on')))") >= 2,
-        F.lit("en"),
-    ).otherwise(F.lit("unk"))
     return (
-        docs.select(F.col("lang"), pred.alias("pred_lang"))
+        docs.select(F.col("lang"), predict_lang(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
 
 
-SQL_LANG_ID = r"""
+def _lang_id_sql() -> str:
+    score_exprs = {}
+    for lang, grams in LANG_PROFILES.items():
+        parts = " + ".join(
+            f"(length(p) - length(replace(p, '{g}', ''))) / {len(g)}"
+            for g in grams)
+        score_exprs[lang] = f"CAST({parts} AS BIGINT)"
+    score_exprs["zh"] = (
+        f"CAST(len(regexp_extract_all(text, '{_CJK_DUCK}')) AS BIGINT)")
+    cols = ",\n         ".join(f"{e} AS s_{l}" for l, e in score_exprs.items())
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = mx THEN '{l}'" for l in LANG_ORDER) + " END"
+    return f"""
+WITH p AS (
+  SELECT lang, text, ' ' || text || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT lang,
+         {cols}
+  FROM p
+),
+withmax AS (
+  SELECT *, {mx} AS mx FROM scored
+)
 SELECT lang,
-       CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                 x -> x IN ('the', 'a', 'is', 'on'))) >= 2
-            THEN 'en' ELSE 'unk' END AS pred_lang,
+       CASE WHEN mx > 0 THEN {case} ELSE 'unk' END AS pred_lang,
        COUNT(*) AS n_docs
-FROM documents
+FROM withmax
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
 """
+
+
+SQL_LANG_ID = _lang_id_sql()
 
 
 # ---------------------------------------------------------------------------
