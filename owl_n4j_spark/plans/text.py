@@ -552,23 +552,75 @@ FROM ranked WHERE rank <= {KNN_K}
 ORDER BY qid, rank
 """
 
-LSH_SIGN_DIMS = 8
+LSH_NBITS = 8
+EMB_DIM = 64
 N_ANN_QUERIES = 20
+ANN_K = 3
+
+
+def _lsh_planes(nbits: int = LSH_NBITS, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight (b, i) derives from
+    md5, uniform in [-1, 1] — real random-hyperplane LSH (not axis-aligned
+    sign bits), reproducible bit-for-bit in both engines because the weights
+    are embedded as shared literals."""
+    import hashlib
+    return [
+        [((int(hashlib.md5(f"{b}|{i}".encode()).hexdigest()[:8], 16)
+           % 2001) - 1000) / 1000.0
+         for i in range(dim)]
+        for b in range(nbits)
+    ]
+
+
+_LSH_W = _lsh_planes()
+
+
+def _bucket_spark(col: str) -> F.Column:
+    bits = []
+    for w in _LSH_W:
+        lits = ", ".join(f"{v}D" for v in w)
+        proj = F.expr(
+            f"aggregate(zip_with({col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)")
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucket_duck(col: str) -> str:
+    bits = []
+    for w in _LSH_W:
+        lits = "[" + ", ".join(str(v) for v in w) + "]"
+        proj = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+                f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i]))")
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
 
 
 def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the scale path for q_knn_bruteforce):
-    bucket = sign bits of the first 8 dims (axis-aligned random-hyperplane
-    LSH); candidates probe only their own bucket. At 100 TB the bucket is
-    the shuffle key — the all-pairs cross join never materializes."""
+    """Random-hyperplane sign-LSH ANN with Hamming-1 MULTI-PROBE (the scale
+    path for q_knn_bruteforce): bucket = 8 sign bits of md5-seeded
+    hyperplane projections; each query probes its own bucket plus the 8
+    buckets one bit-flip away (standard multi-probe LSH — recovers most of
+    the recall single-probe loses at the bucket boundary; measured
+    recall@3 vs brute force asserted in tests/test_ann_recall.py). At
+    100 TB the bucket is the shuffle key: candidates shuffle once by
+    bucket, queries replicate x9 (tiny side), and the all-pairs cross join
+    never materializes."""
     emb = load(spark, sf_dir, "embeddings")
-    sign_bits = F.concat(*[
-        F.when(F.expr(f"CAST(embedding[{i}] AS DOUBLE)") >= 0, F.lit("1"))
-        .otherwise(F.lit("0")) for i in range(LSH_SIGN_DIMS)])
-    b = emb.select("vec_id", "embedding", sign_bits.alias("bucket"))
+    b = emb.select("vec_id", "embedding",
+                   _bucket_spark("embedding").alias("bucket"))
+    flips = F.array(*[F.lit(i) for i in range(LSH_NBITS + 1)])  # 0 = exact
     q = (b.filter(F.col("vec_id") < N_ANN_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                 "bucket"))
+                 "bucket", F.explode(flips).alias("flip"))
+         .select("qid", "qe", F.when(F.col("flip") == 0, F.col("bucket"))
+                 .otherwise(F.concat(
+                     F.expr("substring(bucket, 1, flip - 1)"),
+                     F.when(F.expr("substring(bucket, flip, 1)") == "1",
+                            F.lit("0")).otherwise(F.lit("1")),
+                     F.expr(f"substring(bucket, flip + 1, {LSH_NBITS})")))
+                 .alias("bucket")))
     c = b.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"),
                  "bucket")
     dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
@@ -579,37 +631,45 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(c, on="bucket")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("cos", dot / (qn * cn))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("qid", "nid", F.round("cos", 4).alias("cosine"))
-        .orderBy("qid")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("qid", "rank", "nid", F.round("cos", 4).alias("cosine"))
+        .orderBy("qid", "rank")
     )
 
 
 def _ann_sql() -> str:
-    bucket = " || ".join(
-        f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
-        for i in range(LSH_SIGN_DIMS))
+    bucket = _bucket_duck("embedding")
     return f"""
 WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b
-      WHERE vec_id < {N_ANN_QUERIES}),
+probes AS (
+  SELECT qid, qe,
+         CASE WHEN flip = 0 THEN bucket
+              ELSE substring(bucket, 1, flip - 1)
+                   || (CASE WHEN substring(bucket, flip, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substring(bucket, flip + 1, {LSH_NBITS})
+         END AS bucket
+  FROM (SELECT vec_id AS qid, embedding AS qe, bucket FROM b
+        WHERE vec_id < {N_ANN_QUERIES}),
+       range(0, {LSH_NBITS} + 1) r(flip)
+),
 c AS (SELECT vec_id AS nid, embedding AS ce, bucket FROM b),
 scored AS (
   SELECT qid, nid,
          {_DUCK_DOT.format(a='qe', b='ce')}
            / (sqrt({_DUCK_DOT.format(a='qe', b='qe')})
               * sqrt({_DUCK_DOT.format(a='ce', b='ce')})) AS cos
-  FROM q JOIN c USING (bucket) WHERE qid != nid
+  FROM probes JOIN c USING (bucket) WHERE qid != nid
 ),
 ranked AS (
   SELECT qid, nid, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
   FROM scored
 )
-SELECT qid, nid, round(cos, 4) AS cosine
-FROM ranked WHERE rank = 1
-ORDER BY qid
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY qid, rank
 """
 
 
