@@ -316,7 +316,62 @@ ORDER BY a.tower, user_a, user_b
 """
 
 
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding (SURVEY S8): every geolocated ping resolves to its
+    NEAREST gazetteer city by haversine — broadcast the (tiny) gazetteer,
+    per-ping argmin via struct-min (algebraic, no window sort), then count
+    pings per resolved city. The reference calls a reverse-geocode service
+    per point and caches; the Spark shape is a broadcast join that never
+    leaves the executor."""
+    pts = geo_points(spark, sf_dir)
+    geo = spark.createDataFrame(
+        [(k, CITY_COORDS[k][0], CITY_COORDS[k][1]) for k in sorted(_CITY_KEYS)],
+        "city string, clat double, clon double")
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("clat"), F.col("clon"))
+    return (
+        pts.withColumn("pid", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(geo))
+        .withColumn("d", d)
+        .groupBy("pid")
+        .agg(F.min(F.struct(F.col("d").alias("d"),
+                            F.col("city").alias("c"))).alias("e"))
+        .groupBy(F.col("e.c").alias("city"))
+        .agg(F.count("*").alias("n_pings"),
+             F.round(F.min("e.d"), 1).alias("min_dist_m"),
+             F.round(F.max("e.d"), 1).alias("max_dist_m"))
+        .orderBy("city")
+    )
+
+
+def _sql_reverse_geocode() -> str:
+    d = _haversine_sql("g.lat", "g.lon", "geo2.clat", "geo2.clon")
+    rows = ", ".join(f"('{k}', {CITY_COORDS[k][0]}, {CITY_COORDS[k][1]})"
+                     for k in sorted(_CITY_KEYS))
+    return f"""
+WITH {_duck_geo_cte()},
+geo2(city, clat, clon) AS (VALUES {rows}),
+pts AS (SELECT row_number() OVER () AS pid, lat, lon FROM g),
+scored AS (
+  SELECT pts.pid, geo2.city,
+         {_haversine_sql('pts.lat', 'pts.lon', 'geo2.clat', 'geo2.clon')} AS d
+  FROM pts CROSS JOIN geo2
+),
+nearest AS (
+  SELECT pid, city, d,
+         row_number() OVER (PARTITION BY pid ORDER BY d, city) AS rn
+  FROM scored
+)
+SELECT city, COUNT(*) AS n_pings,
+       round(MIN(d), 1) AS min_dist_m,
+       round(MAX(d), 1) AS max_dist_m
+FROM nearest WHERE rn = 1
+GROUP BY city
+ORDER BY city
+"""
+
+
 GEO_REGISTRY = {
+    "q_reverse_geocode": (q_reverse_geocode, _sql_reverse_geocode()),
     "q_geo_copresence": (q_geo_copresence, _sql_geo_copresence()),
     "q_convoys": (q_convoys, _sql_convoys()),
     "q_tower_coreg": (q_tower_coreg, SQL_TOWER_COREG),

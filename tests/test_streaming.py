@@ -184,3 +184,26 @@ def test_stateful_session_stream(spark, tmp_path_factory):
     # nothing except the sentinel's own (possibly still-open) session extra
     extra = got - want
     assert all(c == "zz" for c, *_ in extra)
+
+
+def test_stateful_session_stream_idempotent_resume(spark, tmp_path_factory):
+    """Re-running the stateful session stream with no new files must emit
+    nothing (checkpoint + state store resume exactly where they left off)."""
+    import pandas as pd
+    from owl_n4j_spark.streaming.incremental import session_stream
+
+    root = tmp_path_factory.mktemp("sess_resume")
+    d = {k: str(root / k) for k in ["in", "out", "ckpt"]}
+    for v in d.values():
+        os.makedirs(v, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    drop = pd.DataFrame({
+        "conv_id": "a",
+        "turn_idx": pd.Series([0, 1, 2], dtype="int32"),
+        "role": "u", "text": "ok", "tool": "t",
+        "ts": [base, base + pd.Timedelta("5 min"), base + pd.Timedelta("3 h")]})
+    _write_drop(spark, drop, d["in"], "drop1")
+    session_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
+    n1 = spark.read.parquet(d["out"]).count()
+    session_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])  # no new files
+    assert spark.read.parquet(d["out"]).count() == n1
