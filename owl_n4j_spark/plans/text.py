@@ -700,6 +700,188 @@ ORDER BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF search path + embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+IVF_PROBES = 2
+IVF_K = 3
+EMB_NEARDUP_TAU = 0.2
+
+
+def _centroids_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, dim-wise mean ROUNDED to 6 decimals —
+    the rounding is load-bearing: raw FP means depend on summation order
+    (partitioning), so both engines quantize to the same grid before any
+    distance math, making IVF assignments bit-deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6)
+             .alias("cv"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
+                    "x -> x.cv)").alias("centroid"))
+    )
+
+
+_DUCK_CENTROIDS = """
+cent AS (
+  SELECT label, list(cv ORDER BY dim) AS centroid FROM (
+    SELECT label, i - 1 AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, dim
+  ) GROUP BY label
+)
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search (the second ANN family, completing the
+    q_embedding_centroids build step): every vector is assigned to its
+    nearest per-label centroid cell (cosine argmax over the broadcast
+    centroid table); a query scans only its IVF_PROBES nearest cells and
+    returns top-k by exact cosine. At 100 TB the cell id is the shuffle
+    key; the coarse quantizer is a broadcast."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _centroids_rounded(spark, sf_dir)
+    dot_vc = F.expr(_SPARK_DOT.format(a="embedding", b="centroid"))
+    vn = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    cn = F.sqrt(F.expr(_SPARK_DOT.format(a="centroid", b="centroid")))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .withColumn("ccos", dot_vc / (vn * cn)))
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("ccos")).alias("nc"),
+                            F.col("label").alias("cell"))).alias("e"),
+             F.first("embedding").alias("embedding"))
+        .select("vec_id", F.col("e.cell").alias("cell"), "embedding")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probes = (
+        scored.filter(F.col("vec_id") < N_ANN_QUERIES)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                F.col("label").alias("cell"))
+    )
+    c = assign.select(F.col("vec_id").alias("nid"),
+                      F.col("embedding").alias("ce"), "cell")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_SPARK_DOT.format(a="qe", b="qe")))
+    cn2 = F.sqrt(F.expr(_SPARK_DOT.format(a="ce", b="ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        probes.join(c, on="cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", dot / (qn * cn2))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= IVF_K)
+        .select("qid", "rank", "nid", F.round("cos", 4).alias("cosine"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _ivf_sql() -> str:
+    dvc = _DUCK_DOT.format(a="e.embedding", b="c.centroid")
+    vn = _DUCK_DOT.format(a="e.embedding", b="e.embedding")
+    cn = _DUCK_DOT.format(a="c.centroid", b="c.centroid")
+    return f"""
+WITH {_DUCK_CENTROIDS},
+scored AS (
+  SELECT e.vec_id, e.embedding, c.label,
+         {dvc} / (sqrt({vn}) * sqrt({cn})) AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, label AS cell FROM (
+    SELECT vec_id, embedding, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS cell FROM (
+    SELECT vec_id, embedding, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+    FROM scored WHERE vec_id < {N_ANN_QUERIES}
+  ) WHERE rn <= {IVF_PROBES}
+),
+cand AS (
+  SELECT DISTINCT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ce
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE p.qid != a.vec_id
+),
+ranked AS (
+  SELECT qid, nid,
+         {_DUCK_DOT.format(a='qe', b='ce')}
+           / (sqrt({_DUCK_DOT.format(a='qe', b='qe')})
+              * sqrt({_DUCK_DOT.format(a='ce', b='ce')})) AS cos,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           {_DUCK_DOT.format(a='qe', b='ce')}
+             / (sqrt({_DUCK_DOT.format(a='qe', b='qe')})
+                * sqrt({_DUCK_DOT.format(a='ce', b='ce')})) DESC, nid) AS rank
+  FROM cand
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {IVF_K}
+ORDER BY qid, rank
+"""
+
+
+SQL_ANN_IVF = _ivf_sql()
+
+
+def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the fifth dedup modality):
+    candidate pairs share an LSH bucket (same machinery as q_ann_signlsh —
+    the shuffle key at scale), exact cosine >= EMB_NEARDUP_TAU filters, one
+    row per unordered pair. Never all-pairs; bucket-bounded like the
+    shingle join."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding",
+                   _bucket_spark("embedding").alias("bucket"))
+    a = b.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                 "bucket")
+    c = b.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                 "bucket")
+    dot = F.expr(_SPARK_DOT.format(a="ea", b="eb"))
+    an = F.sqrt(F.expr(_SPARK_DOT.format(a="ea", b="ea")))
+    bn = F.sqrt(F.expr(_SPARK_DOT.format(a="eb", b="eb")))
+    return (
+        a.join(c, on="bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", dot / (an * bn))
+        .filter(F.col("cos") >= EMB_NEARDUP_TAU)
+        .select("va", "vb", F.round("cos", 4).alias("cosine"))
+        .orderBy("va", "vb")
+    )
+
+
+def _emb_neardup_sql() -> str:
+    bucket = _bucket_duck("embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS va, b2.vec_id AS vb,
+       round({_DUCK_DOT.format(a='a.embedding', b='b2.embedding')}
+         / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+            * sqrt({_DUCK_DOT.format(a='b2.embedding', b='b2.embedding')})), 4)
+         AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_DUCK_DOT.format(a='a.embedding', b='b2.embedding')}
+        / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+           * sqrt({_DUCK_DOT.format(a='b2.embedding', b='b2.embedding')}))
+      >= {EMB_NEARDUP_TAU}
+ORDER BY va, vb
+"""
+
+
+SQL_EMB_NEARDUP_PAIRS = _emb_neardup_sql()
+
+
 SEARCH_TERM = "window"
 SNIPPET_PAD = 25
 
@@ -890,5 +1072,7 @@ TEXT_REGISTRY = {
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "q_ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
+    "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "q_emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "q_embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }
