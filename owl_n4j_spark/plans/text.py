@@ -961,6 +961,22 @@ CHUNK_TOKENS = 40
 CHUNK_STRIDE = 30          # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 10
 
 
+def chunk_spans(n_tokens: int, size: int = CHUNK_TOKENS,
+                stride: int = CHUNK_STRIDE) -> list[tuple[int, int]]:
+    """Token-window spans [(start, end_exclusive), ...] for a doc of
+    n_tokens — the single source of truth for the chunking rule (property-
+    tested in tests/test_chunk_properties.py, mirrored by SQL_DOC_CHUNKS):
+    starts step by ``stride``; a trailing window fully contained in the
+    previous chunk's tail (start + overlap >= n) is not emitted."""
+    overlap = size - stride
+    spans = []
+    for start in range(0, max(n_tokens, 1), stride):
+        if start > 0 and start + overlap >= n_tokens:
+            break
+        spans.append((start, min(start + size, n_tokens)))
+    return spans
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks per document — the chunking stage of
     the reference's ingestion (`/root/reference/ingestion/scripts/
@@ -978,20 +994,15 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    overlap = CHUNK_TOKENS - CHUNK_STRIDE
 
     def run(batches):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = re.split(r"\s+", text.strip()) if isinstance(text, str) else [""]
-                n = len(toks)
-                for idx, start in enumerate(range(0, max(n, 1), CHUNK_STRIDE)):
-                    if start > 0 and start + overlap >= n:
-                        break
-                    chunk = " ".join(toks[start:start + CHUNK_TOKENS])
-                    out.append((doc_id, idx, start,
-                                min(CHUNK_TOKENS, n - start),
+                for idx, (start, end) in enumerate(chunk_spans(len(toks))):
+                    chunk = " ".join(toks[start:end])
+                    out.append((doc_id, idx, start, end - start,
                                 hashlib.md5(chunk.encode()).hexdigest()))
             yield pd.DataFrame(out, columns=["doc_id", "chunk_idx",
                                              "start_tok", "n_tok", "chunk_md5"])
