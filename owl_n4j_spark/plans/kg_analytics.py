@@ -595,12 +595,15 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
       - a text leg (term-frequency of the query term),
       - a vector leg (cosine vs the query embedding),
       - a graph leg (log-degree of the document's linked KG entity)
-    into a deterministic weighted score and return the top-k. Candidates =
-    documents with an embedding (at 100 TB the ANN bucket join of
-    q_ann_signlsh gates this set; the rerank shape is identical). The query
-    vector is broadcast; the degree table joins on the entity key."""
+    into a deterministic weighted score and return the top-k. The candidate
+    set is GATED, never the whole corpus: a document qualifies if its text
+    matches the query term OR its embedding shares one of the query's
+    multi-probe LSH buckets (the q_ann_signlsh machinery) — both gates are
+    pushdown-able predicates / bucket equi-joins, so at 100 TB the rerank
+    touches a bounded candidate set. The query vector is broadcast; the
+    degree table joins on the entity key."""
     from owl_n4j_spark.plans.relational import load
-    from owl_n4j_spark.plans.text import _SPARK_DOT
+    from owl_n4j_spark.plans.text import LSH_NBITS, _SPARK_DOT, _bucket_spark
     from owl_n4j_spark.sources.events_transcripts import _universe
 
     docs = load(spark, sf_dir, "documents")
@@ -623,14 +626,28 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = (emb.filter(F.col("vec_id") == RAG_QUERY_VEC)
-         .select(F.col("embedding").alias("qe")))
+         .select(F.col("embedding").alias("qe"),
+                 _bucket_spark("embedding").alias("qb")))
+    # multi-probe bucket set of the query: exact bucket + 1-bit flips
+    probes = (q.select(F.explode(F.array(
+        *[F.lit(i) for i in range(LSH_NBITS + 1)])).alias("flip"), "qb")
+        .select(F.when(F.col("flip") == 0, F.col("qb")).otherwise(F.concat(
+            F.expr("substring(qb, 1, flip - 1)"),
+            F.when(F.expr("substring(qb, flip, 1)") == "1", F.lit("0"))
+             .otherwise(F.lit("1")),
+            F.expr(f"substring(qb, flip + 1, {LSH_NBITS})"))).alias("bucket")))
+    probe_set = (probes.dropDuplicates(["bucket"])
+                 .withColumn("__probe", F.lit(1)))
     cand = (
         docs.select("doc_id",
                     F.regexp_count(F.col("text"), F.lit(RAG_TERM))
                     .cast("bigint").alias("text_score"))
         .join(emb.select(F.col("vec_id").alias("doc_id"),
-                         F.col("embedding").alias("ce")), "doc_id")
-        .crossJoin(F.broadcast(q))
+                         F.col("embedding").alias("ce"),
+                         _bucket_spark("embedding").alias("bucket")), "doc_id")
+        .join(F.broadcast(probe_set), "bucket", "left")
+        .filter((F.col("text_score") > 0) | F.col("__probe").isNotNull())
+        .crossJoin(F.broadcast(q.select("qe")))
         .withColumn("uidx", F.col("doc_id") % n_users)
         .join(F.broadcast(ent_map), "uidx")
         .join(F.broadcast(deg), "key", "left")
@@ -667,7 +684,7 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kg_rag_retrieve() -> str:
-    from owl_n4j_spark.plans.text import _DUCK_DOT
+    from owl_n4j_spark.plans.text import LSH_NBITS, _DUCK_DOT, _bucket_duck
     nu = "(SELECT MAX(user_id) + 1 FROM events)"
     ent = et._phone_key_sql(f"d.doc_id % {nu}")
     dot = _DUCK_DOT.format(a="q.qe", b="e.embedding")
@@ -682,16 +699,30 @@ deg AS (
     UNION ALL SELECT obj_key FROM edges
   ) WHERE key LIKE 'phone-%' GROUP BY key
 ),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RAG_QUERY_VEC}),
+bkt AS (SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
+        FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qb FROM bkt
+      WHERE vec_id = {RAG_QUERY_VEC}),
+probe_set AS (
+  SELECT DISTINCT CASE WHEN flip = 0 THEN qb
+              ELSE substring(qb, 1, flip - 1)
+                   || (CASE WHEN substring(qb, flip, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substring(qb, flip + 1, {LSH_NBITS})
+         END AS bucket
+  FROM q, range(0, {LSH_NBITS} + 1) r(flip)
+),
 cand AS (
   SELECT d.doc_id,
          CAST(len(regexp_extract_all(d.text, '{RAG_TERM}')) AS BIGINT) AS text_score,
          {dot} / (sqrt({qn}) * sqrt({cn})) AS cos,
          coalesce(dg.deg, 0) AS deg
   FROM documents d
-  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN bkt e ON e.vec_id = d.doc_id
   CROSS JOIN q
   LEFT JOIN deg dg ON dg.key = {ent}
+  WHERE len(regexp_extract_all(d.text, '{RAG_TERM}')) > 0
+     OR e.bucket IN (SELECT bucket FROM probe_set)
 ),
 stats AS (SELECT MAX(text_score) AS max_text, MAX(deg) AS max_deg FROM cand),
 scored AS (
