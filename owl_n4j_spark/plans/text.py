@@ -227,6 +227,63 @@ ORDER BY doc_id
 """
 
 
+WINNOW_K = 3   # tokens per gram
+WINNOW_W = 4   # grams per selection window
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (the MOSS
+    algorithm): hash every K-token gram, slide a W-gram window, keep the
+    minimum hash per window, dedupe — the selected fingerprints are the
+    document's robust near-dup signature (guaranteed to include at least
+    one shared fingerprint for any sufficiently long shared passage).
+    Everything is array expressions over one row per document — no explode,
+    no shuffle until the final sort; hashes are fixed-width md5 prefixes so
+    lexicographic min == numeric min in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    grams = (f"transform(sequence(0, size(__w) - {WINNOW_K}), "
+             f"i -> substring(md5(concat_ws(' ', slice(__w, i + 1, {WINNOW_K}))), 1, 8))")
+    mins = (f"transform(sequence(0, size(__h) - {WINNOW_W}), "
+            f"j -> array_min(slice(__h, j + 1, {WINNOW_W})))")
+    return (
+        docs.withColumn("__w", _tokens_col())
+        .filter(F.size("__w") >= WINNOW_K + WINNOW_W - 1)
+        .withColumn("__h", F.expr(grams))
+        .withColumn("__f", F.array_sort(F.array_distinct(F.expr(mins))))
+        .select("doc_id",
+                F.size("__f").alias("n_fingerprints"),
+                F.md5(F.concat_ws(",", F.col("__f"))).alias("fp_digest"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_WINNOWING = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= {WINNOW_K + WINNOW_W - 1}
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+           i -> substring(md5(array_to_string(toks[i : i + {WINNOW_K} - 1], ' ')), 1, 8))
+           AS hs
+  FROM w
+),
+f AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+             j -> list_min(hs[j : j + {WINNOW_W} - 1])))) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM f
+ORDER BY doc_id
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the fingerprint, keep min(doc_id) as the
     canonical survivor. The 100 TB shape: one shuffle on an md5 key (uniform
@@ -1077,6 +1134,7 @@ TEXT_REGISTRY = {
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_winnowing": (q_winnowing, SQL_WINNOWING),
     "q_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),

@@ -57,3 +57,37 @@ def test_stop_shingle_cap_keeps_at_threshold(spark):
     rows = [(i, "s") for i in range(SHINGLE_MAX_DOCS)]
     sh = spark.createDataFrame(rows, "doc_id long, shingle string")
     assert _capped_shingles(sh).count() == SHINGLE_MAX_DOCS
+
+
+def test_winnowing_shared_passage_guarantee(spark, tmp_path_factory):
+    """Winnowing's defining property: two documents sharing a passage of
+    >= K + W - 1 tokens must share at least one selected fingerprint,
+    regardless of the surrounding text."""
+    import os
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"completely different prefix words {shared} and a different tail"),
+        (2, "nothing in common with the others at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = os.path.join(str(tmp_path_factory.mktemp("win")), "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    sf_dir = os.path.dirname(path)
+
+    from pyspark.sql import functions as F
+    from owl_n4j_spark.plans.text import WINNOW_K, WINNOW_W, _tokens_col
+    from owl_n4j_spark.plans.relational import load
+    # recompute the raw fingerprint SETS (not the digest) for overlap checks
+    grams = (f"transform(sequence(0, size(__w) - {WINNOW_K}), "
+             f"i -> substring(md5(concat_ws(' ', slice(__w, i + 1, {WINNOW_K}))), 1, 8))")
+    mins = (f"transform(sequence(0, size(__h) - {WINNOW_W}), "
+            f"j -> array_min(slice(__h, j + 1, {WINNOW_W})))")
+    fps = {r["doc_id"]: set(r["f"]) for r in
+           load(spark, sf_dir, "documents")
+           .withColumn("__w", _tokens_col())
+           .withColumn("__h", F.expr(grams))
+           .select("doc_id", F.array_distinct(F.expr(mins)).alias("f"))
+           .collect()}
+    assert fps[0] & fps[1], "shared passage must share a fingerprint"
+    assert len(fps[0] & fps[2]) == 0  # doc 2 is unrelated
