@@ -59,3 +59,19 @@ def test_contract_rejects_missing_required(spark):
 def test_unsupported_format(spark):
     with pytest.raises(ValueError, match="unsupported"):
         read_transcripts(spark, "/tmp/nowhere", "avro!")
+
+
+def test_csv_source_feeds_pipeline_identically(spark, corpus_df, tmp_path_factory):
+    """S4 end-to-end: a CSV transcript drop produces the same KG as the
+    native DataFrame path."""
+    from owl_n4j_spark.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("fmt_pipe"))
+    path = os.path.join(root, "data")
+    corpus_df.coalesce(2).write.mode("overwrite").option("header", True).csv(path)
+    via_csv = run_pipeline(spark, read_transcripts(spark, path, "csv"),
+                           with_manifest=False)
+    native = run_pipeline(spark, corpus_df, with_manifest=False)
+    a = sorted(map(tuple, via_csv["nodes"].select("key", "type").collect()))
+    b = sorted(map(tuple, native["nodes"].select("key", "type").collect()))
+    assert a == b
