@@ -117,6 +117,92 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _resize_image_stub(content: bytes, w: int, h: int) -> bytes:
+    """STUB: real impl is PIL/libvips resample. Deterministic fake: output
+    bytes derive from (content hash, target dims) with a plausible size
+    (smaller than input for downscale), so the plumbing around it —
+    batching, schema, size accounting — is fully testable."""
+    if not content:
+        raise ValueError("empty image payload")
+    h0 = hashlib.sha256(content + f"|{w}x{h}".encode()).digest()
+    n = max(16, min(len(content), (w * h) // 64))
+    return (h0 * (n // len(h0) + 1))[:n]
+
+
+def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas (the brief's resize op):
+    image rows come back with resized payload bytes + old/new sizes; non-
+    image rows pass through with NULL resized columns; corrupt rows
+    quarantine as NULLs instead of failing the batch. Narrow op — no
+    shuffle, media bytes never leave the partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), MEDIA_ROWS_PER_BATCH):
+                chunk = pdf.iloc[start:start + MEDIA_ROWS_PER_BATCH]
+                rows = []
+                for mid, kind, content in zip(chunk["media_id"],
+                                              chunk["kind"],
+                                              chunk["content"]):
+                    content = bytes(content) if content is not None else b""
+                    row = dict(media_id=mid, kind=kind,
+                               n_bytes=len(content),
+                               resized=None, resized_bytes=None,
+                               width=None, height=None)
+                    if kind == "image":
+                        try:
+                            out = _resize_image_stub(content, width, height)
+                            row.update(resized=out, resized_bytes=len(out),
+                                       width=width, height=height)
+                        except ValueError:
+                            pass
+                    rows.append(row)
+                out_pdf = pd.DataFrame(rows)
+                out_pdf["resized_bytes"] = out_pdf["resized_bytes"].astype("Int64")
+                out_pdf["width"] = out_pdf["width"].astype("Int32")
+                out_pdf["height"] = out_pdf["height"].astype("Int32")
+                yield out_pdf
+
+    return media.mapInPandas(
+        run, schema=("media_id string, kind string, n_bytes bigint, "
+                     "resized binary, resized_bytes bigint, "
+                     "width int, height int"))
+
+
+FRAME_SAMPLE_FPS = 1.0
+
+
+def sample_video_frames(media: DataFrame, fps: float = FRAME_SAMPLE_FPS) -> DataFrame:
+    """Video frame sampling as a mapInPandas UDTF shape: one INPUT video row
+    fans out to N frame rows (frame_idx, t_offset_sec, frame sha) — the
+    variable-arity output a frame pipeline needs; frames themselves stay
+    stubbed (no codecs in this container), the Spark-side row expansion,
+    schema and batch bounds are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["content"]):
+                if kind != "video":
+                    continue
+                content = bytes(content) if content is not None else b""
+                try:
+                    dur, _ = _sample_video_frames_stub(content)
+                except ValueError:
+                    continue
+                n = int(dur * fps)
+                for i in range(min(n, 3600)):
+                    fh = hashlib.sha1(content + i.to_bytes(4, "big")).hexdigest()
+                    rows.append((mid, i, round(i / fps, 3), fh))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "t_offset_sec", "frame_sha1"])
+
+    return media.mapInPandas(
+        run, schema=("media_id string, frame_idx int, "
+                     "t_offset_sec double, frame_sha1 string"))
+
+
 def normalize_exif_metadata(meta: DataFrame) -> DataFrame:
     """EXIF sidecar metadata -> typed columns, all inside whole-stage
     codegen (SURVEY S3 — the reference's per-file tag harvest,

@@ -546,6 +546,40 @@ LIMIT 100
 """
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact percentiles per group (the OLAP quantile family; the scalable
+    variant is percentile_approx / t-digest — same plan shape, sketch
+    mergeable map-side): p25/p50/p75/p95 of value per event_type. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation, so the oracle is exact at round 6."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"), F.count("*").alias("n"))
+        .select("event_type",
+                F.round(F.element_at("p", 1), 6).alias("p25"),
+                F.round(F.element_at("p", 2), 6).alias("p50"),
+                F.round(F.element_at("p", 3), 6).alias("p75"),
+                F.round(F.element_at("p", 4), 6).alias("p95"),
+                "n")
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_value_histogram(spark, sf_dir):
     """Tile/bucket aggregation (SURVEY A9): 1-D analog of the spatial tile
     binning — floor-bucket, count + mean."""
@@ -705,4 +739,5 @@ RELATIONAL_REGISTRY = {
     "q_comm_hub": (q_comm_hub, SQL_COMM_HUB),
     "q_copresence_pairs": (q_copresence_pairs, SQL_COPRESENCE_PAIRS),
     "q_value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "q_value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
 }

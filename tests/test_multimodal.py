@@ -49,3 +49,39 @@ def test_media_no_shuffle(spark):
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert feats.rdd.getNumPartitions() == 3
+
+
+def test_resize_images_plumbing(spark):
+    from owl_n4j_spark.operators.multimodal import resize_images, synth_media
+    media = synth_media(spark, 60, seed=5)
+    out = resize_images(media, 128, 128)
+    rows = out.collect()
+    assert len(rows) == 60  # one row per input, every kind passes through
+    imgs = [r for r in rows if r["kind"] == "image" and r["n_bytes"] > 0]
+    assert imgs and all(r["resized"] is not None and
+                        r["resized_bytes"] == len(bytes(r["resized"])) and
+                        r["width"] == 128 for r in imgs)
+    others = [r for r in rows if r["kind"] != "image"]
+    assert all(r["resized"] is None for r in others)
+    # corrupt (empty) images quarantine as NULLs, never fail the batch
+    empties = [r for r in rows if r["kind"] == "image" and r["n_bytes"] == 0]
+    assert all(r["resized"] is None for r in empties)
+    # deterministic across runs
+    again = {r["media_id"]: r["resized"] for r in resize_images(
+        synth_media(spark, 60, seed=5), 128, 128).collect()}
+    assert all(again[r["media_id"]] == r["resized"] for r in rows)
+
+
+def test_sample_video_frames_fanout(spark):
+    from owl_n4j_spark.operators.multimodal import sample_video_frames, synth_media
+    media = synth_media(spark, 30, seed=5)
+    frames = sample_video_frames(media, fps=1.0).collect()
+    assert frames  # videos exist in the synth set
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, fr in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in fr)
+        assert idxs == list(range(len(idxs)))  # dense 0..n-1
+        assert all(abs(f["t_offset_sec"] - f["frame_idx"]) < 1e-9 for f in fr)
+        assert len({f["frame_sha1"] for f in fr}) == len(fr)  # distinct frames
