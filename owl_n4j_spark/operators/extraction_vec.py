@@ -185,6 +185,14 @@ def extract_records_stateless_vec(transcripts: DataFrame,
     gaz = frozenset(gazetteer or CITIES)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One Arrow compute thread per Python worker: the executor thread IS
+        # the parallelism unit; Arrow's default pool (one per host core, per
+        # worker process) oversubscribes the host N_workers x N_cores and
+        # measurably THRASHES — pinning doubled local[2] throughput
+        # (52-58k -> 104-117k turns/s) and is what a per-executor cgroup
+        # enforces on a real cluster anyway.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         empty = pd.DataFrame({c: pd.Series(dtype="object") for c in _REC_COLS})
         for pdf in batches:
             outs: list[pd.DataFrame] = []
