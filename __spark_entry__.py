@@ -29,12 +29,12 @@ from owl_n4j_spark.sources import events_transcripts as et
 
 # The driver's correctness gate evaluates the FIRST 50 queries() entries.
 # Registration order is therefore deliberate: the KG pipeline + serving
-# layer, graph suite, geo co-presence suite, and text/dedup/ANN suite first
-# (every one a distinct SURVEY §2 operator), then the relational entries
-# whose SHAPE is not already covered by a scored query; the remaining
-# relational variants (alternate financial-agg/join shapes over the same
-# operators) register after the gate and stay oracle-checked by
-# tests/test_oracle_parity.py at sf0.001.
+# layer (19), graph suite (9), geo co-presence suite (4), and text/dedup/
+# ANN suite fill the gate (every one a distinct SURVEY §2 operator); the
+# relational entries below — distinct shapes first, then alternate
+# financial-agg/join variants — register after the gate and stay
+# oracle-checked by tests/test_oracle_parity.py at sf0.001 and
+# scripts_dev/check_oracles.py at sf0.01.
 _RELATIONAL_GATE = [
     "q_rollup_revenue",       # grouping sets / rollup
     "q_distinct_approx",      # approx_count_distinct vs exact

@@ -711,6 +711,70 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# Per-engine query-param lookup, mirroring the reference's engine table
+# (`/root/reference/ingestion/scripts/cellebrite/neo4j_writer.py:59-109`:
+# each search engine names its query parameter differently).
+SEARCH_ENGINES = [
+    ("google", "q", 0),
+    ("bing", "q2", 1),
+    ("duckduckgo", "qd", 2),
+    ("yahoo", "p", 3),
+]
+
+
+def q_url_terms(spark, sf_dir):
+    """URL search-term extraction (SURVEY F9 `_extract_search_query` —
+    reference `ingestion/scripts/cellebrite/neo4j_writer.py:59-109`).
+    The input contract has no raw URL column, so browsing URLs are derived
+    deterministically from events; the per-engine param table joins as a
+    broadcast dim and the term is pulled with a per-row regex built from the
+    joined param — the reference's lookup-table-driven extraction. All
+    JVM-side: concat/regexp_extract/regexp_replace, one shuffle for the
+    final (engine, term) rollup."""
+    ev = load(spark, sf_dir, "events")
+    engines = spark.createDataFrame(
+        SEARCH_ENGINES, "engine string, param string, eidx bigint")
+    b = (ev.filter(F.col("event_id") % 7 == 0)
+           .withColumn("eidx", F.col("event_id") % 4))
+    j = b.join(F.broadcast(engines), "eidx")
+    url = F.concat(
+        F.lit("https://www."), F.col("engine"), F.lit(".com/search?src=nav&"),
+        F.col("param"), F.lit("="), F.lower("event_type"), F.lit("+"),
+        (F.col("event_id") % 50).cast("string"), F.lit("&lang=en"))
+    withu = j.withColumn("url", url)
+    term_raw = F.expr(
+        "regexp_extract(url, concat('[?&]', param, '=([^&]*)'), 1)")
+    term = F.regexp_replace(term_raw, r"\+", " ")
+    return (
+        withu.select("engine", term.alias("term"))
+        .groupBy("engine", "term").agg(F.count("*").alias("n_hits"))
+        .orderBy("engine", "term")
+    )
+
+
+SQL_URL_TERMS = """
+WITH engines(engine, param, eidx) AS (
+  VALUES ('google','q',0), ('bing','q2',1), ('duckduckgo','qd',2),
+         ('yahoo','p',3)
+),
+b AS (
+  SELECT eng.engine, eng.param,
+         'https://www.' || eng.engine || '.com/search?src=nav&' || eng.param
+           || '=' || lower(e.event_type) || '+'
+           || CAST(e.event_id % 50 AS VARCHAR) || '&lang=en' AS url
+  FROM events e JOIN engines eng ON e.event_id % 4 = eng.eidx
+  WHERE e.event_id % 7 = 0
+)
+SELECT engine,
+       replace(regexp_extract(url, '[?&]' || param || '=([^&]*)', 1),
+               '+', ' ') AS term,
+       COUNT(*) AS n_hits
+FROM b
+GROUP BY engine, term
+ORDER BY engine, term
+"""
+
+
 RELATIONAL_REGISTRY = {
     "q_rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "q_distinct_approx": (q_distinct_approx, SQL_DISTINCT_APPROX),
@@ -740,4 +804,5 @@ RELATIONAL_REGISTRY = {
     "q_copresence_pairs": (q_copresence_pairs, SQL_COPRESENCE_PAIRS),
     "q_value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "q_value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "q_url_terms": (q_url_terms, SQL_URL_TERMS),
 }

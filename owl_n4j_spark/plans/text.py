@@ -972,6 +972,85 @@ ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "window", "spark")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked full-text search over the corpus — the scoring model
+    behind the reference's Lucene full-text index queries
+    (`/root/reference/backend/services/neo4j_service.py:13392-13420` runs
+    `db.index.fulltext.queryNodes`, whose relevance score is BM25).
+
+    Classic IR pipeline as pure relational algebra: tokenize (explode),
+    per-doc term frequencies, per-term document frequencies, corpus stats
+    (N, avgdl) as a 1-row broadcast, then the BM25 formula
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` summed over query
+    terms. At 100 TB: tf/df are map-side-combinable hash aggregates on the
+    token stream, the df and stats sides are tiny broadcasts, and only the
+    per-(doc, query-term) rows — not the token stream — reach the scoring
+    join. Floats: avgdl is exact-int-sum / count (one division, identical
+    across engines), score rounded to 4dp to absorb sum-order ulps."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                 .alias("term"))
+            .filter(F.col("term") != ""))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl"))
+    tf = (toks.filter(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    return (
+        scored.select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(SUM( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * (tf * {BM25_K1 + 1.0})
+                  / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                         + {BM25_B} * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+                ), 4) AS bm25
+FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pruning: drop the higher doc_id of every
     word-trigram-Jaccard >= 0.2 pair, keep the rest — the dataset-cleaning
@@ -1129,6 +1208,7 @@ TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
     "q_doc_search": (q_doc_search, SQL_DOC_SEARCH),
+    "q_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "q_neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     "q_doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
