@@ -1204,6 +1204,115 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction + benchmark decontamination — training-data scrub ops
+# ---------------------------------------------------------------------------
+
+PII_AMOUNT_RE = r"\$\d+\.\d\d"
+PII_DATE_RE = r"\d{4}-\d{2}-\d{2}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over conversation transcripts — the redaction pass a
+    training-data pipeline runs before text leaves the trust boundary
+    (the reference masks extracted amounts/dates into typed properties
+    instead of raw strings — `/root/reference/backend/services/
+    neo4j_service.py` fact properties; here the scrub is the operator).
+
+    Spark side does the REAL redaction with JVM regexes
+    (regexp_extract_all + regexp_replace inside whole-stage codegen, no
+    shuffle until the per-conversation rollup); the oracle derives the
+    expected hit counts from the event algebra that generated the text —
+    purchase turns render exactly one ``$d.dd`` amount and one ISO date,
+    click turns one date (sources/events_transcripts.py text grammar) — so
+    the check is true cross-representation parity, same discipline as
+    kg_triples. test_operators_semantics pins that the redacted text
+    contains no residual pattern. At 100 TB this is a pure map stage."""
+    from owl_n4j_spark.sources.events_transcripts import \
+        transcripts_from_events
+
+    t = transcripts_from_events(spark, sf_dir)
+    n_amounts = F.size(F.regexp_extract_all("text", F.lit(PII_AMOUNT_RE), F.lit(0)))
+    n_dates = F.size(F.regexp_extract_all("text", F.lit(PII_DATE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_AMOUNT_RE, "[AMOUNT]"),
+        PII_DATE_RE, "[DATE]")
+    return (
+        t.select("conv_id", n_amounts.alias("n_amounts"),
+                 n_dates.alias("n_dates"),
+                 # count survives into the plan so the redaction column is
+                 # not pruned away before it is exercised
+                 F.size(F.regexp_extract_all(
+                     redacted, F.lit(PII_AMOUNT_RE), F.lit(0)))
+                  .alias("n_residual"))
+        .groupBy("conv_id")
+        .agg(F.sum("n_amounts").alias("n_amounts"),
+             F.sum("n_dates").alias("n_dates"),
+             F.sum("n_residual").alias("n_residual"),
+             F.count("*").alias("n_turns"))
+        .orderBy("conv_id")
+    )
+
+
+SQL_PII_REDACT = """
+SELECT printf('conv-%05d', user_id) AS conv_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_amounts,
+       CAST(SUM(CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0
+                END) AS BIGINT) AS n_dates,
+       CAST(0 AS BIGINT) AS n_residual,
+       COUNT(*) AS n_turns
+FROM events
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
+N_BENCH_DOCS = 5          # doc_id < 5 plays the held-out benchmark set
+DECONTAM_MIN_SHARED = 3   # shared distinct shingles to flag contamination
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    DECONTAM_MIN_SHARED distinct word-trigram shingles with a held-out
+    benchmark set (docs 0..N_BENCH_DOCS-1 stand in for the eval suite).
+    The standard n-gram-overlap decontamination pass (GPT-3 appendix C /
+    The Pile) as a relational plan: shingle explode -> equi-join against
+    the benchmark shingle set -> per-doc distinct rollup.
+
+    Scale shape: the benchmark side is tiny (eval suites are MBs) and
+    broadcast, so the corpus-side token stream never shuffles — each task
+    probes its shingles against the broadcast set; no cap needed because
+    bucket fan-out is bounded by the benchmark's shingle multiplicity."""
+    sh = _shingles_df(spark, sf_dir)
+    bench = (sh.filter(F.col("doc_id") < N_BENCH_DOCS)
+             .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    corpus = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"),
+             F.countDistinct("bench_id").alias("n_bench_docs"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_DUCK_SHINGLES_CTE},
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+          WHERE doc_id < {N_BENCH_DOCS}),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {N_BENCH_DOCS})
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.shingle) >= {DECONTAM_MIN_SHARED}
+ORDER BY c.doc_id
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1224,4 +1333,8 @@ TEXT_REGISTRY = {
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "q_emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "q_embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    # scrub ops register after the 50-entry driver gate (oracle-checked by
+    # tests/test_oracle_parity.py and scripts_dev/check_oracles.py)
+    "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }

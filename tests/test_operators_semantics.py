@@ -99,3 +99,33 @@ def test_unified_contact_rollup(spark):
     for r in person_rows:
         if r["name_aliases"]:
             assert "@" not in r["name"] and not r["name"].startswith("+")
+
+
+def test_pii_redaction_masks_everything(spark):
+    """The PII scrub must leave no residual amount/date pattern and must
+    insert exactly one marker per original hit (q_pii_redact's n_residual
+    column asserts the same invariant inside the driver-checked query)."""
+    from owl_n4j_spark.plans.text import PII_AMOUNT_RE, PII_DATE_RE
+
+    df = spark.createDataFrame(
+        [("a", "Bob paid $12.34 to Ann on 2024-01-02."),
+         ("b", "prices: $0.99 $100.00, dates 1999-12-31 2000-01-01"),
+         ("c", "no pii here $12.3 12-01-2024")],
+        "doc_id string, text string")
+    red = F.regexp_replace(
+        F.regexp_replace("text", PII_AMOUNT_RE, "[AMOUNT]"),
+        PII_DATE_RE, "[DATE]")
+    out = df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(red, F.lit(PII_AMOUNT_RE), F.lit(0)))
+         .alias("resid_amt"),
+        F.size(F.regexp_extract_all(red, F.lit(PII_DATE_RE), F.lit(0)))
+         .alias("resid_date"),
+        F.size(F.split(red, r"\[AMOUNT\]")).alias("amt_parts"),
+        F.size(F.split(red, r"\[DATE\]")).alias("date_parts"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert all(r["resid_amt"] == 0 and r["resid_date"] == 0 for r in out)
+    assert (by_id["a"]["amt_parts"], by_id["a"]["date_parts"]) == (2, 2)
+    assert (by_id["b"]["amt_parts"], by_id["b"]["date_parts"]) == (3, 3)
+    assert (by_id["c"]["amt_parts"], by_id["c"]["date_parts"]) == (1, 1)
