@@ -1313,6 +1313,151 @@ ORDER BY c.doc_id
 """
 
 
+QUALITY_MIN = 0.6   # quality-gate threshold (drops the worst ~15-20%)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed training-data pipeline:
+    quality gate -> exact dedup -> near-dup prune -> benchmark
+    decontamination, reporting per-stage attrition plus the surviving token
+    budget (the cost-ledger discipline of SURVEY K6 applied to data
+    curation). Each stage reuses the exact oracle-checked single-op
+    semantics (q_doc_quality score, q_exact_dedup fingerprint,
+    q_ngram_jaccard_pairs capped-shingle Jaccard, q_decontaminate overlap).
+
+    Scale shape: quality + fingerprint legs are map-side aggregates; the
+    near-dup leg joins the shared capped-shingle warehouse restricted to
+    survivors (bucket fan-out still bounded by the stop-shingle cap); the
+    decontamination leg probes a broadcast benchmark set. One small driver
+    row out — nothing is collected."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tok = F.size(toks).cast("double")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        rf"size(filter(split(trim(text), '\\s+'), x -> x IN ({stop_in})))"
+    ).cast("double")
+    score = F.round(F.lit(0.5) * (F.lit(1.0) - n_stop / n_tok)
+                    + F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+                    6)
+    quality = (docs.select("doc_id", score.alias("q"),
+                           _fingerprint_col().alias("fingerprint"),
+                           F.size(toks).alias("n_tok"))
+               .filter(F.col("q") >= QUALITY_MIN))
+
+    keepers = (quality.groupBy("fingerprint")
+               .agg(F.min("doc_id").alias("doc_id")))
+    exact = quality.join(keepers, ["fingerprint", "doc_id"], "leftsemi")
+
+    sh = (_capped_shingles(_shingles_df(spark, sf_dir))
+          .join(exact.select("doc_id"), "doc_id", "leftsemi"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    dup_b = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(F.round(F.col("common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("common")), 6)
+                >= 0.2)
+        .select(F.col("doc_b").alias("doc_id")).dropDuplicates())
+    neardup = exact.join(dup_b, "doc_id", "left_anti")
+
+    contaminated = (q_decontaminate(spark, sf_dir)
+                    .select("doc_id").dropDuplicates())
+    clean = neardup.join(contaminated, "doc_id", "left_anti")
+
+    stage = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("__s"), F.count("*").alias("n"),
+        F.sum("n_tok").alias("tok"))
+    return (
+        docs.agg(F.lit("input").alias("__s"), F.count("*").alias("n"),
+                 F.sum(F.size(toks)).alias("tok"))
+        .unionByName(stage(quality, "quality_gate"))
+        .unionByName(stage(exact, "exact_dedup"))
+        .unionByName(stage(neardup, "neardup_prune"))
+        .unionByName(stage(clean, "decontaminated"))
+        .select(F.col("__s").alias("stage"), F.col("n").alias("n_docs"),
+                F.col("tok").alias("n_tokens"))
+        .orderBy("stage")
+    )
+
+
+SQL_CORPUS_CURATION = rf"""
+WITH q AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS fingerprint,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM (
+    SELECT doc_id, text,
+           round(0.5 * (1.0 - n_stop / n_tokd)
+                 + 0.5 * least(n_tokd / 100.0, 1.0), 6) AS qs
+    FROM (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+               AS n_tokd,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               AS n_stop
+      FROM documents))
+  WHERE qs >= {QUALITY_MIN}
+),
+exact AS (
+  SELECT q.* FROM q
+  JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id
+        FROM q GROUP BY fingerprint) k
+  USING (fingerprint, doc_id)
+),
+{_DUCK_SHINGLES_CTE},
+{_DUCK_CAPPED_SH},
+shs AS (SELECT shk.* FROM shk WHERE doc_id IN (SELECT doc_id FROM exact)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shs GROUP BY doc_id),
+dupb AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b)
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+),
+neardup AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+          WHERE doc_id < {N_BENCH_DOCS}),
+contaminated AS (
+  SELECT c.doc_id FROM sh c JOIN bench b USING (shingle)
+  WHERE c.doc_id >= {N_BENCH_DOCS}
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT c.shingle) >= {DECONTAM_MIN_SHARED}
+),
+clean AS (SELECT * FROM neardup
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents
+  UNION ALL SELECT 'quality_gate', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM q
+  UNION ALL SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM exact
+  UNION ALL SELECT 'neardup_prune', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM neardup
+  UNION ALL SELECT 'decontaminated', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM clean
+)
+ORDER BY stage
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1337,4 +1482,5 @@ TEXT_REGISTRY = {
     # tests/test_oracle_parity.py and scripts_dev/check_oracles.py)
     "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
 }
