@@ -190,3 +190,37 @@ def thread_stats_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming comm dedup (SURVEY W7 as a stream): drop duplicate
+    (conv_id, turn_idx) turns arriving across file drops with
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of the batch
+    pipeline's struct-min dedup election (pipeline.py). Re-delivered or
+    double-ingested turns inside the watermark are suppressed exactly once;
+    the dedup state store is bounded by the watermark horizon (state is
+    O(turns per watermark window), not O(stream history) — the property
+    that lets this run forever at 10^12-turn scale). Catch-up-then-stop via
+    availableNow; checkpointed state survives restarts, so a re-run never
+    re-emits a committed turn."""
+    tr = read_transcript_stream(spark, input_dir)
+    deduped = (
+        tr.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    q = (
+        deduped.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -207,3 +207,32 @@ def test_stateful_session_stream_idempotent_resume(spark, tmp_path_factory):
     n1 = spark.read.parquet(d["out"]).count()
     session_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])  # no new files
     assert spark.read.parquet(d["out"]).count() == n1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (conv_id, turn_idx) turns re-delivered in a later file drop
+    must be suppressed by dedup_stream, and the drained output must equal
+    batch dropDuplicates on the union of drops."""
+    from owl_n4j_spark.streaming.incremental import dedup_stream
+
+    d = {k: str(tmp_path / k) for k in ["in", "out", "ckpt"]}
+    os.makedirs(d["in"], exist_ok=True)
+    corpus = generate_corpus_pandas(12, seed=7)
+    tr = corpus["transcripts"]
+    _write_drop(spark, tr, d["in"], "drop1")
+    # second drop re-delivers a third of the same turns (double ingestion)
+    dup = tr.iloc[: len(tr) // 3]
+    _write_drop(spark, dup, d["in"], "drop2")
+
+    dedup_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
+
+    got = spark.read.parquet(d["out"])
+    key = ["conv_id", "turn_idx"]
+    assert got.count() == got.dropDuplicates(key).count()
+    expect = spark.createDataFrame(tr).dropDuplicates(key)
+    assert got.count() == expect.count()
+    assert (got.select(key).exceptAll(expect.select(key)).count() == 0)
+
+    # restart with the same checkpoint: nothing new to emit
+    dedup_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
+    assert spark.read.parquet(d["out"]).count() == expect.count()
