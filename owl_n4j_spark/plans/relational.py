@@ -742,9 +742,14 @@ def q_url_terms(spark, sf_dir):
         F.col("param"), F.lit("="), F.lower("event_type"), F.lit("+"),
         (F.col("event_id") % 50).cast("string"), F.lit("&lang=en"))
     withu = j.withColumn("url", url)
-    term_raw = F.expr(
-        "regexp_extract(url, concat('[?&]', param, '=([^&]*)'), 1)")
-    term = F.regexp_replace(term_raw, r"\+", " ")
+    # Parse the query string into a map and look the engine's param up by
+    # the JOINED column — a per-row regex built from the param would
+    # thrash Spark's compiled-pattern cache when engines interleave;
+    # str_to_map + element_at stays in whole-stage codegen with no regex.
+    qmap = F.str_to_map(
+        F.substring_index("url", "?", -1), F.lit("&"), F.lit("="))
+    term = F.regexp_replace(
+        F.element_at(qmap, F.col("param")), r"\+", " ")
     return (
         withu.select("engine", term.alias("term"))
         .groupBy("engine", "term").agg(F.count("*").alias("n_hits"))

@@ -51,3 +51,42 @@ def test_knn_broadcasts_query_side(spark):
     # query set against the candidate table — the plan must show it
     plan = _plan(q_knn_bruteforce(spark, SF))
     assert "Broadcast" in plan
+
+
+def test_bm25_stats_and_df_broadcast(spark):
+    # corpus stats (1 row) and per-term df (|query| rows) must broadcast;
+    # the only shuffles are the token-stream aggregates
+    from owl_n4j_spark.plans.text import q_bm25_search
+    plan = _plan(q_bm25_search(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    # the 1-row stats cross join is a broadcast, never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the held-out benchmark shingle set must be the broadcast side so the
+    # corpus token stream never shuffles for the probe
+    from owl_n4j_spark.plans.text import q_decontaminate
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_map_only_until_rollup(spark):
+    # one shuffle total: the per-conversation aggregate; the regex scrub
+    # itself must stay inside the scan->project map stage
+    from owl_n4j_spark.plans.text import q_pii_redact
+    plan = _plan(q_pii_redact(spark, SF))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln
+                 and "Broadcast" not in ln]
+    # rollup + final orderBy range partitioning and nothing else from
+    # the redaction; the transcript render's own broadcast joins are free
+    assert len(exchanges) <= 3, plan
+
+
+def test_url_terms_engine_table_broadcast(spark):
+    from owl_n4j_spark.plans.relational import q_url_terms
+    plan = _plan(q_url_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
