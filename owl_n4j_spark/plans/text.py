@@ -992,7 +992,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, query-term) rows — not the token stream — reach the scoring
     join. Floats: avgdl is exact-int-sum / count (one division, identical
     across engines), score rounded to 4dp to absorb sum-order ulps."""
-    docs = load(spark, sf_dir, "documents")
+    return bm25_scores(load(spark, sf_dir, "documents")).limit(20)
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS
+                ) -> DataFrame:
+    """(doc_id, bm25) for every doc matching >= 1 query term, best first —
+    the scoring core of q_bm25_search (ranking semantics pinned in
+    tests/test_operators_semantics.py on a planted fixture)."""
     toks = (docs.select(
                 "doc_id",
                 F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
@@ -1000,7 +1007,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("term") != ""))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl"))
-    tf = (toks.filter(F.col("term").isin(*BM25_TERMS))
+    tf = (toks.filter(F.col("term").isin(*terms))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(dfreq), "term")
@@ -1017,7 +1024,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
     )
 
 

@@ -129,3 +129,25 @@ def test_pii_redaction_masks_everything(spark):
     assert (by_id["a"]["amt_parts"], by_id["a"]["date_parts"]) == (2, 2)
     assert (by_id["b"]["amt_parts"], by_id["b"]["date_parts"]) == (3, 3)
     assert (by_id["c"]["amt_parts"], by_id["c"]["date_parts"]) == (1, 1)
+
+
+def test_bm25_ranking_semantics(spark):
+    """Planted corpus: term-dense doc ranks above single-hit doc; a doc
+    with no query term is absent; a rare term outweighs a common one
+    (idf monotonicity)."""
+    from owl_n4j_spark.plans.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "data data data data filler filler filler"),
+         (1, "data filler filler filler filler filler"),
+         (2, "filler filler filler filler filler filler"),
+         (3, "window filler filler filler filler filler"),
+         (4, "data filler filler"),
+         (5, "data filler filler filler filler filler filler filler")],
+        "doc_id long, text string")
+    rows = bm25_scores(docs, terms=("data", "window")).collect()
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+    assert 2 not in got                      # no query term -> absent
+    assert got[0] > got[1]                   # higher tf ranks higher
+    assert got[3] > got[1]                   # rarer term (idf) outweighs
+    assert got[4] > got[5]                   # shorter doc, same tf, wins
