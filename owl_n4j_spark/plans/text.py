@@ -1464,6 +1464,62 @@ ORDER BY stage
 """
 
 
+# Per-language keep rates (percent) for the training-mix construction —
+# upsample scarce languages, downsample the dominant one.
+MIX_RATES = {"en": 40, "de": 90, "fr": 90, "es": 70, "zh": 70}
+MIX_DEFAULT_RATE = 50
+_MIX_HASH_PRIME = 2654435761  # Knuth multiplicative hash; doc_id*prime < 2^63
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data mixing: sample each language bucket at a configured
+    rate to build a training mixture (the domain/language re-weighting step
+    of a pretraining pipeline — e.g. The Pile's per-source epochs). The
+    keep decision is a deterministic multiplicative hash of doc_id against
+    the bucket's rate, so the sample is reproducible, join-free, and
+    embarrassingly parallel — a pure map stage plus one rollup; no
+    orderBy-limit sampling, no driver-side randomness. Reports kept counts
+    and achieved vs target rate per bucket."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for lang, pct in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    keep = ((F.col("doc_id") * _MIX_HASH_PRIME) % 100 < rate)
+    return (
+        docs.select("lang", rate.alias("target_pct"),
+                    keep.cast("bigint").alias("keep"))
+        .groupBy("lang", "target_pct")
+        .agg(F.count("*").alias("n_total"),
+             F.sum("keep").alias("n_kept"),
+             F.round(F.sum("keep") * 100.0 / F.count("*"), 4)
+              .alias("achieved_pct"))
+        .orderBy("lang")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in MIX_RATES.items())
+
+SQL_DATA_MIX = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(CASE lang {_MIX_CASE} ELSE {MIX_DEFAULT_RATE} END
+              AS INT) AS target_pct,
+         CASE WHEN (doc_id * {_MIX_HASH_PRIME}) % 100
+                   < (CASE lang {_MIX_CASE} ELSE {MIX_DEFAULT_RATE} END)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, target_pct,
+       COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       round(SUM(keep) * 100.0 / COUNT(*), 4) AS achieved_pct
+FROM d
+GROUP BY lang, target_pct
+ORDER BY lang
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1489,4 +1545,5 @@ TEXT_REGISTRY = {
     "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "q_data_mix": (q_data_mix, SQL_DATA_MIX),
 }
