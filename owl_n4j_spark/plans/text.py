@@ -1520,6 +1520,61 @@ ORDER BY lang
 """
 
 
+SEQ_LEN = 512   # tokens per packed training sequence
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-length training
+    sequences by running token offset (the concat-then-split packing every
+    pretraining loader does). Docs are packed per language shard — the
+    running sum is a window partitioned by ``lang``, NEVER a global
+    cumulative sum, because a global ordering is a single-partition
+    bottleneck at scale while shard-local packing parallelizes freely (and
+    is what loaders do anyway: one packed stream per shard). Output: per
+    (lang, seq_id) document count, token count, and fill ratio."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens_col()).cast("bigint")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off")
+    with_off = (docs.select("lang", "doc_id", n_tok.alias("n_tok"))
+                .select("lang", "doc_id", "n_tok",
+                        F.floor(start / SEQ_LEN).alias("seq_id")))
+    return (
+        with_off.groupBy("lang", "seq_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.round(F.sum("n_tok") / F.lit(float(SEQ_LEN)), 4)
+              .alias("fill_ratio"))
+        .orderBy("lang", "seq_id")
+    )
+
+
+SQL_SEQ_PACK = rf"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tok)
+                    / {SEQ_LEN}) AS BIGINT) AS seq_id
+  FROM d
+)
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       round(SUM(n_tok) / {float(SEQ_LEN)}, 4) AS fill_ratio
+FROM o
+GROUP BY lang, seq_id
+ORDER BY lang, seq_id
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1546,4 +1601,5 @@ TEXT_REGISTRY = {
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "q_data_mix": (q_data_mix, SQL_DATA_MIX),
+    "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
 }
