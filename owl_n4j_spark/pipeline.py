@@ -206,8 +206,11 @@ def run_pipeline(
         e = build_edges(triples, case_id)
         if with_manifest:
             valid, n_quar = enforce_referential(e, nodes)
-            mw.record("edges_referential", in_rows=n_quar + valid.count(),
-                      out_df=None, out_rows=valid.count(),
+            # count once — `valid` is not staged yet, so every count here
+            # replays the whole edge build + referential semi-join
+            n_valid = valid.count()
+            mw.record("edges_referential", in_rows=n_quar + n_valid,
+                      out_df=None, out_rows=n_valid,
                       quarantined=n_quar, per_partition=False)
         else:
             valid, _ = enforce_referential(e, nodes, count_drops=False)
