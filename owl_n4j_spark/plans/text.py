@@ -493,6 +493,63 @@ GROUP BY doc_a, doc_b
 ORDER BY doc_a, doc_b
 """
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH pair graph — the fuzzy-dedup grouping step (pair pruning
+    alone misses transitivity: A~B and B~C must collapse to ONE cluster
+    even when A~C was never a candidate pair). REUSES the KG
+    canonicalization engine's salted hash-min CC
+    (operators/canonicalize.py) on doc-id vertices, the same
+    one-engine-many-graphs rule as q_graph_cc; at 100 TB the pair graph is
+    orders of magnitude smaller than the corpus, and CC on it is the
+    standard MinHashLSH-then-components dedup (e.g. SlimPajama/BigCode
+    pipelines). Doc ids are zero-padded so string-min == numeric-min."""
+    from owl_n4j_spark.operators.canonicalize import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pad = lambda c: F.format_string("d%06d", F.col(c))  # noqa: E731
+    comps = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")))
+    return (
+        comps.groupBy(F.col("canonical_key").alias("cluster"))
+        .agg(F.count("*").alias("size"))
+        .orderBy("cluster")
+    )
+
+
+SQL_NEARDUP_CLUSTERS = rf"""
+WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+minh AS (
+  SELECT doc_id, k, MIN(md5(k || '|' || shingle)) AS minh
+  FROM sh, range({N_MINHASH}) r(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {LSH_ROWS_PER_BAND} AS INT) AS band,
+         string_agg(k || ':' || minh, ',' ORDER BY k || ':' || minh) AS sig
+  FROM minh
+  GROUP BY doc_id, band
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(u, v) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.u, s.b FROM reach r JOIN sym s ON s.a = r.v
+),
+comp AS (SELECT u, printf('d%06d', MIN(v)) AS cluster FROM reach GROUP BY u)
+SELECT cluster, COUNT(*) AS size
+FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
 SIMHASH_BITS = 32
 _ODD_HEX = "('1','3','5','7','9','b','d','f')"
 
@@ -1602,4 +1659,5 @@ TEXT_REGISTRY = {
     "q_corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "q_data_mix": (q_data_mix, SQL_DATA_MIX),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "q_neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
 }
