@@ -1376,6 +1376,67 @@ ORDER BY c.doc_id
 """
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the tagging/keyword step behind
+    the reference's entity-summary surface (what a doc is "about"). tf/df
+    are map-side hash aggregates over the non-stopword token stream; df +
+    the 1-row corpus count broadcast into the scoring join; ranking is a
+    per-doc window (partitioned by doc_id — never a global sort). Score =
+    tf * ln(N/df), rounded, ties broken by term for determinism."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                 .alias("term"))
+            .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS)))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (toks.select("doc_id", "term").distinct()
+             .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("score", F.round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' AND t NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(n_docs / df), 6) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, score
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
+"""
+
+
 QUALITY_MIN = 0.6   # quality-gate threshold (drops the worst ~15-20%)
 
 
@@ -1660,4 +1721,5 @@ TEXT_REGISTRY = {
     "q_data_mix": (q_data_mix, SQL_DATA_MIX),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "q_doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
 }
