@@ -190,7 +190,13 @@ def extract_records_stateless_vec(transcripts: DataFrame,
         # worker process) oversubscribes the host N_workers x N_cores and
         # measurably THRASHES — pinning doubled local[2] throughput
         # (52-58k -> 104-117k turns/s) and is what a per-executor cgroup
-        # enforces on a real cluster anyway.
+        # enforces on a real cluster anyway. NOTE: these setters are
+        # process-global and deliberately NOT restored — Spark reuses the
+        # Python worker across stages, so every later Arrow-compute user in
+        # this worker inherits the 1-thread pool. That is the behavior we
+        # want for ALL our mapInPandas ops (each already holds one executor
+        # thread); revisit if an op is ever added that relies on intra-call
+        # Arrow parallelism.
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         empty = pd.DataFrame({c: pd.Series(dtype="object") for c in _REC_COLS})

@@ -393,7 +393,7 @@ visits AS (
 tiles AS (
   SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
          CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
-         SUM(weight) AS n_visits,
+         CAST(SUM(weight) AS BIGINT) AS n_visits,
          round(SUM(lat * weight) / SUM(weight), 6) AS centroid_lat,
          round(SUM(lon * weight) / SUM(weight), 6) AS centroid_lon
   FROM visits JOIN geo USING (key)
@@ -601,7 +601,8 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe LSH buckets (the q_ann_signlsh machinery) — both gates are
     pushdown-able predicates / bucket equi-joins, so at 100 TB the rerank
     touches a bounded candidate set. The query vector is broadcast; the
-    degree table joins on the entity key."""
+    O(entities) degree table is left-semi-reduced to the candidate key set
+    before its (then candidate-sized) broadcast join."""
     from owl_n4j_spark.plans.relational import load
     from owl_n4j_spark.plans.text import LSH_NBITS, _SPARK_DOT, _bucket_spark
     from owl_n4j_spark.sources.events_transcripts import _universe
@@ -638,7 +639,7 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(qb, flip + 1, {LSH_NBITS})"))).alias("bucket")))
     probe_set = (probes.dropDuplicates(["bucket"])
                  .withColumn("__probe", F.lit(1)))
-    cand = (
+    gated = (
         docs.select("doc_id",
                     F.regexp_count(F.col("text"), F.lit(RAG_TERM))
                     .cast("bigint").alias("text_score"))
@@ -650,7 +651,15 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q.select("qe")))
         .withColumn("uidx", F.col("doc_id") % n_users)
         .join(F.broadcast(ent_map), "uidx")
-        .join(F.broadcast(deg), "key", "left")
+    )
+    # deg is O(distinct entities) — at 100x scale that side is unbounded, so
+    # never broadcast it wholesale (r2 verdict). Left-semi-reduce it to the
+    # gated candidates' key set first (column-pruned re-evaluation of the
+    # gate), then the rerank join broadcasts only the candidate-sized slice.
+    deg_cand = deg.join(gated.select("key").dropDuplicates(["key"]),
+                        "key", "left_semi")
+    cand = (
+        gated.join(F.broadcast(deg_cand), "key", "left")
         .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)))
     )
     dot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))

@@ -1586,7 +1586,12 @@ ORDER BY stage
 # upsample scarce languages, downsample the dominant one.
 MIX_RATES = {"en": 40, "de": 90, "fr": 90, "es": 70, "zh": 70}
 MIX_DEFAULT_RATE = 50
-_MIX_HASH_PRIME = 2654435761  # Knuth multiplicative hash; doc_id*prime < 2^63
+_MIX_HASH_PRIME = 2654435761  # Knuth multiplicative hash
+# Reduce doc_id mod 2^31 BEFORE multiplying: (2^31-1)*prime < 2^63, so the
+# product stays in int64 range in BOTH engines. Without the reduction a
+# doc_id >= ~3.5e9 silently wraps in Spark (non-ANSI) while DuckDB widens
+# to HUGEINT, and the keep decisions diverge (r2 advice).
+_MIX_HASH_MOD = 2147483648
 
 
 def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,7 +1607,8 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(MIX_DEFAULT_RATE)
     for lang, pct in MIX_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    keep = ((F.col("doc_id") * _MIX_HASH_PRIME) % 100 < rate)
+    keep = (((F.col("doc_id") % _MIX_HASH_MOD) * _MIX_HASH_PRIME) % 100
+            < rate)
     return (
         docs.select("lang", rate.alias("target_pct"),
                     keep.cast("bigint").alias("keep"))
@@ -1623,7 +1629,7 @@ WITH d AS (
   SELECT lang,
          CAST(CASE lang {_MIX_CASE} ELSE {MIX_DEFAULT_RATE} END
               AS INT) AS target_pct,
-         CASE WHEN (doc_id * {_MIX_HASH_PRIME}) % 100
+         CASE WHEN ((doc_id % {_MIX_HASH_MOD}) * {_MIX_HASH_PRIME}) % 100
                    < (CASE lang {_MIX_CASE} ELSE {MIX_DEFAULT_RATE} END)
               THEN 1 ELSE 0 END AS keep
   FROM documents

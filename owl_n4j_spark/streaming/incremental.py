@@ -122,7 +122,15 @@ def session_stream(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = max(last, t), n + 1
+                # late (out-of-order across micro-batches, within the
+                # watermark) events can precede the open session's start:
+                # backfill start = min so session_start is the true
+                # earliest event time, matching batch gap-sessionization
+                # (r2 advice). An event more than gap_s before start still
+                # folds in rather than splitting retroactively — lateness
+                # beyond gap_s is bounded by the watermark and documented
+                # as merge-forward semantics.
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
             # event-time timeout must stay ahead of the current watermark

@@ -74,7 +74,24 @@ def main():
             continue
         g, w = normalize(got), normalize(want)
         status = None
-        if list(g.columns) != list(w.columns):
+        # The driver hashes TYPED values: an int64 Spark column vs a
+        # float64 oracle column (DuckDB HUGEINT sums reach pandas as
+        # float64) hash-differently even when every value is equal.
+        # Refuse to coerce across the int/float boundary so a local
+        # ALL-PASS implies a driver ALL-PASS (r2 kg_location_tiles bug).
+        for c in set(got.columns) & set(want.columns):
+            gi = pd.api.types.is_integer_dtype(got[c])
+            wi = pd.api.types.is_integer_dtype(want[c])
+            gf = pd.api.types.is_float_dtype(got[c])
+            wf = pd.api.types.is_float_dtype(want[c])
+            if (gi and wf) or (gf and wi):
+                status = (f"dtype mismatch on '{c}': spark={got[c].dtype} "
+                          f"duck={want[c].dtype} (driver hash would fail — "
+                          f"CAST the oracle or the Spark column)")
+                break
+        if status:
+            pass
+        elif list(g.columns) != list(w.columns):
             status = f"column mismatch: spark={list(g.columns)} duck={list(w.columns)}"
         elif len(g) != len(w):
             status = f"row count: spark={len(g)} duck={len(w)}"

@@ -90,3 +90,13 @@ def test_url_terms_engine_table_broadcast(spark):
     plan = _plan(q_url_terms(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rag_retrieve_never_broadcasts_full_degree_table(spark):
+    # r2 verdict: deg is O(distinct entities) — the plan must reduce it to
+    # the gated candidate set (LeftSemi) before the broadcast rerank join,
+    # so no unbounded side is ever collected to the driver/executors.
+    from owl_n4j_spark.plans.kg_analytics import kg_rag_retrieve
+    plan = _plan(kg_rag_retrieve(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
