@@ -145,6 +145,12 @@ def canonical_mapping(
     Runs connected components over the same-as graph, then composes:
     raw_key -> (linking canonical) -> (component canonical). Keys that are
     in no component keep their linking-canonical key.
+
+    The pre-CC linking decision is kept as ``link_key`` — the merge-audit
+    surface (U4 — backend/services/rejected_pairs_service.py +
+    neo4j_service.py:2553-3052 merge history) reports each member's path
+    raw -> link -> component, and link_key != canonical_key identifies
+    exactly the merges the SAME_AS evidence (not the dictionary) caused.
     """
     edges = build_sameas_edges(mapping, sameas_records)
     canon_keys = (mapping.filter(F.col("method") == "exact")
@@ -160,5 +166,6 @@ def canonical_mapping(
             F.coalesce(F.col("component_key"), F.col("canonical_key"))
              .alias("canonical_key"),
             "method",
+            F.col("canonical_key").alias("link_key"),
         )
     )

@@ -186,25 +186,41 @@ FROM reach GROUP BY seed ORDER BY user_id
 """
 
 
+def _pr_contrib(out: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One PageRank iteration: join ranks into the (pre-partitioned,
+    cached) out-edge list and sum incoming contributions per target.
+    Factored out so the plan-hygiene test can pin the per-iteration
+    exchange count (edge side must NOT reshuffle)."""
+    return (
+        out.join(ranks.withColumnRenamed("v", "a"), "a")
+        .groupBy(F.col("b").alias("v"))
+        .agg(F.sum(F.col("r") / F.col("deg")).alias("in_r"))
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, PR_ITERS fixed iterations, d = PR_DAMPING (SURVEY G3 — the
     reference runs 20 Python-dict iterations; here each iteration is one
     shuffle-on-vertex join + algebraic sum, AQE-coalesced).
 
     The symmetric graph has no dangling vertices, so mass is conserved
-    without a dangling-redistribution term."""
+    without a dangling-redistribution term.
+
+    Scale note (r2 verdict): the edge list is hash-REPARTITIONED on the
+    join key ``a`` once and cached, so every iteration's join reuses that
+    one exchange — only the vertex-sized ranks table reshuffles per round.
+    Without it, each of the PR_ITERS iterations reshuffles the full edge
+    list, which at 100x scale dominates the job
+    (tests/test_plan_hygiene.py pins the per-iteration exchange count)."""
     sym = _sym(copresence_edges(spark, sf_dir)).cache()
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
     n_v = deg.count()
     ranks = deg.select(F.col("a").alias("v"),
                        (F.lit(1.0) / F.lit(float(n_v))).alias("r"))
-    out = sym.join(deg, "a")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = sym.join(deg, "a").repartition(n_part, "a").cache()
     for _ in range(PR_ITERS):
-        contrib = (
-            out.join(ranks.withColumnRenamed("v", "a"), "a")
-            .groupBy(F.col("b").alias("v"))
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("in_r"))
-        )
+        contrib = _pr_contrib(out, ranks)
         ranks = contrib.select(
             "v",
             (F.lit((1.0 - PR_DAMPING) / n_v)
@@ -333,6 +349,74 @@ FROM walk GROUP BY v ORDER BY user_id
 """
 
 
+PAIR_BFS_KEYS = 6    # selected key-set size (reference UI sends <= ~10)
+PAIR_BFS_DEPTH = 10  # the reference's <= 10-hop cap
+
+
+def q_graph_pair_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shortest hop-distances between a SELECTED key set (SURVEY
+    G2 proper — neo4j_service.py:1359-1460 returns the path subgraph
+    between user-selected nodes, <= 10 hops). Runs ONE multi-source BFS:
+    the frontier carries a source column ``s``, so every round is a single
+    (s, v)-keyed equi-join of all frontiers against the shared adjacency
+    list — K sources cost one join per level, not K traversals, which is
+    the difference between O(depth) and O(K * depth) shuffles at scale.
+    The selected set here is the PAIR_BFS_KEYS lowest vertex ids
+    (deterministic stand-in for the UI selection); output is
+    (src, dst, hop_dist) for reachable selected pairs, src < dst."""
+    sym = _sym(copresence_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    seeds = (sym.select(F.col("a").alias("v")).dropDuplicates()
+             .orderBy("v").limit(PAIR_BFS_KEYS)
+             .localCheckpoint(eager=True))  # <= PAIR_BFS_KEYS rows
+    frontier = (seeds.select(F.col("v").alias("s"), "v")
+                .withColumn("d", F.lit(0)))
+    levels = [frontier.localCheckpoint(eager=True)]
+    frontier = levels[0]
+    for depth in range(1, PAIR_BFS_DEPTH + 1):
+        seen = levels[0].select("s", "v")
+        for lv in levels[1:]:
+            seen = seen.unionByName(lv.select("s", "v"))
+        nxt = (
+            frontier.join(sym.withColumnRenamed("a", "v"), on="v")
+            .select("s", F.col("b").alias("v")).dropDuplicates()
+            .join(seen, on=["s", "v"], how="left_anti")
+            .withColumn("d", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionByName(lv)
+    return (
+        dist.join(F.broadcast(seeds), on="v")  # dst must be selected too
+        .filter(F.col("s") < F.col("v"))
+        .select(F.col("s").alias("src"), F.col("v").alias("dst"),
+                F.col("d").cast("bigint").alias("hop_dist"))
+        .orderBy("src", "dst")
+    )
+
+
+SQL_GRAPH_PAIR_PATHS = f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {PAIR_BFS_KEYS}),
+walk(s, v, d) AS (
+  SELECT v, v, 0 FROM seeds
+  UNION
+  SELECT walk.s, sym.b, walk.d + 1
+  FROM walk JOIN sym ON sym.a = walk.v
+  WHERE walk.d < {PAIR_BFS_DEPTH}
+)
+SELECT w.s AS src, w.v AS dst, CAST(MIN(w.d) AS BIGINT) AS hop_dist
+FROM walk w JOIN seeds t ON t.v = w.v
+WHERE w.s < w.v
+GROUP BY w.s, w.v
+ORDER BY src, dst
+"""
+
+
 LPA_ITERS = 4
 
 
@@ -351,8 +435,10 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_sql() -> str:
-    rounds = []
+def _lpa_labels_cte() -> str:
+    """labels0..labelsN CTE chain mirroring label_propagation's struct-min
+    election; shared by the LPA-sizes and supergraph oracles."""
+    rounds = ["labels0 AS (SELECT v, v AS lbl FROM verts)"]
     for i in range(1, LPA_ITERS + 1):
         rounds.append(f"""
 c{i} AS (
@@ -367,10 +453,12 @@ labels{i} AS (
     FROM c{i}
   ) WHERE rn = 1
 )""")
-    return f"""
+    return ",".join(rounds)
+
+
+SQL_LPA_COMMUNITIES = f"""
 WITH {_DUCK_EDGES_CTE},
-labels0 AS (SELECT v, v AS lbl FROM verts),
-{','.join(rounds)}
+{_lpa_labels_cte()}
 SELECT lbl AS community, COUNT(*) AS size
 FROM labels{LPA_ITERS}
 GROUP BY lbl
@@ -378,7 +466,56 @@ ORDER BY size DESC, community
 """
 
 
-SQL_LPA_COMMUNITIES = _lpa_sql()
+def q_community_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-zoom super-node projection (r2 verdict item 7; reference
+    docs/PERFORMANCE_OPTIMIZATION_REPORT.md §2): collapse community
+    memberships into super-nodes and roll the edge list up to weighted
+    inter-community edges (self-loop rows = intra-community edge counts).
+    Two shuffle joins tag each edge endpoint with its community — both on
+    the vertex key, both against the O(V) membership table (never
+    broadcast) — then one groupBy emits the super-edge list, which is tiny
+    (#communities^2 bound) no matter the input scale. That collapsed list
+    is what the reference renders when zoomed out instead of the raw graph."""
+    edges = copresence_edges(spark, sf_dir)
+    mem = label_propagation(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_iter=LPA_ITERS)
+    ma = mem.select(F.col("vertex").alias("a"), F.col("community").alias("ca"))
+    mb = mem.select(F.col("vertex").alias("b"), F.col("community").alias("cb"))
+    ce = (
+        edges.join(ma, "a").join(mb, "b")
+        .groupBy(F.least("ca", "cb").alias("c_src"),
+                 F.greatest("ca", "cb").alias("c_dst"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+    sz = mem.groupBy(F.col("community")).agg(F.count("*").alias("size"))
+    return (
+        ce.join(sz.select(F.col("community").alias("c_src"),
+                          F.col("size").alias("src_size")), "c_src")
+        .join(sz.select(F.col("community").alias("c_dst"),
+                        F.col("size").alias("dst_size")), "c_dst")
+        .select("c_src", "c_dst", "n_edges", "src_size", "dst_size")
+        .orderBy("c_src", "c_dst")
+    )
+
+
+SQL_COMMUNITY_SUPERGRAPH = f"""
+WITH {_DUCK_EDGES_CTE},
+{_lpa_labels_cte()},
+mem AS (SELECT v, lbl AS community FROM labels{LPA_ITERS}),
+ce AS (
+  SELECT LEAST(ma.community, mb.community) AS c_src,
+         GREATEST(ma.community, mb.community) AS c_dst,
+         COUNT(*) AS n_edges
+  FROM e JOIN mem ma ON ma.v = e.a JOIN mem mb ON mb.v = e.b
+  GROUP BY 1, 2
+),
+sz AS (SELECT community, COUNT(*) AS size FROM mem GROUP BY community)
+SELECT c_src, c_dst, n_edges, s1.size AS src_size, s2.size AS dst_size
+FROM ce JOIN sz s1 ON s1.community = ce.c_src
+        JOIN sz s2 ON s2.community = ce.c_dst
+ORDER BY c_src, c_dst
+"""
 
 
 LOUVAIN_ROUNDS = 4
@@ -571,4 +708,6 @@ GRAPH_REGISTRY = {
     "q_graph_2hop": (q_graph_2hop, SQL_GRAPH_2HOP),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     "q_graph_cc": (q_graph_cc, SQL_GRAPH_CC),
+    "q_graph_pair_paths": (q_graph_pair_paths, SQL_GRAPH_PAIR_PATHS),
+    "q_community_supergraph": (q_community_supergraph, SQL_COMMUNITY_SUPERGRAPH),
 }

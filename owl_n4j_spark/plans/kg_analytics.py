@@ -59,6 +59,66 @@ def kg_result(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# U4 — merge-audit surface: every canonicalization decision with its method
+# ---------------------------------------------------------------------------
+
+
+def kg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable merge-audit trail (SURVEY U4/G6 — the reference records
+    merge history and rejected pairs, backend/services/
+    rejected_pairs_service.py + neo4j_service.py:2553-3052): one row per
+    resolved raw key — member -> canonical, the method that decided it
+    (exact dictionary hit / fuzzy disambiguation / self), and whether
+    SAME_AS evidence (the CC stage) rather than the dictionary produced
+    the final assignment. Pure projection of the pipeline's staged mapping.
+    The rejected-pairs no-re-merge invariant is pinned in
+    tests/test_merge_audit.py."""
+    res = kg_result(spark, sf_dir)
+    return (res["merge_audit"]
+            .select("member_key", "canonical_key", "method", "via_sameas")
+            .orderBy("member_key"))
+
+
+def _sql_kg_merge_audit() -> str:
+    from owl_n4j_spark.sources.events_transcripts import _universe
+    u = _universe()
+    pm_rows = ", ".join(f"({p.idx}, '{p.name_key}')" for p in u.persons)
+    return f"""
+WITH {_BASE_CTE},
+users_named AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx
+  FROM t WHERE event_type != 'error'
+),
+others AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) + 1 AS idx
+  FROM t WHERE event_type IN ('purchase', 'view')
+),
+name_people AS (SELECT idx FROM users_named UNION SELECT idx FROM others),
+pm(idx, name_key) AS (VALUES {pm_rows}),
+rows AS (
+  SELECT spk AS member_key, spk AS canonical_key, 'self' AS method
+  FROM (SELECT DISTINCT spk FROM t)
+  UNION ALL
+  SELECT pm.name_key, {et._phone_key_sql('np.idx')}, 'exact'
+  FROM name_people np JOIN pm ON pm.idx = np.idx
+  UNION ALL
+  SELECT DISTINCT {et._city_key_case()}, {et._city_key_case()}, 'exact'
+  FROM t WHERE event_type = 'click'
+  UNION ALL
+  SELECT DISTINCT {et._org_key_case()}, {et._org_key_case()}, 'exact'
+  FROM t WHERE event_type = 'signup'
+  UNION ALL
+  SELECT DISTINCT chat, chat, 'self' FROM t
+)
+SELECT member_key, canonical_key, method, FALSE AS via_sameas
+FROM rows ORDER BY member_key
+"""
+
+
+SQL_KG_MERGE_AUDIT = _sql_kg_merge_audit()
+
+
+# ---------------------------------------------------------------------------
 # A1 — graph summary: node count per type, edge count per rel type
 # ---------------------------------------------------------------------------
 
@@ -758,6 +818,49 @@ ORDER BY rank
 SQL_KG_RAG_RETRIEVE = _sql_kg_rag_retrieve()
 
 
+def kg_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 completion (r2 verdict item 5): deterministic answer COMPOSITION
+    over the retrieval top-k — the reference's RAG service renders an
+    answer string plus an extractable citation list from the retrieved
+    nodes (rag_service.py:1677-2260); here the template is a pure column
+    expression so the whole (query, answer, citations) contract has an
+    exact string oracle. One aggregation over the RAG_TOPK retrieve rows:
+    collect_list -> sort_array puts evidence in rank order without a
+    global sort, and the citation list is the comma-joined doc ids the
+    reference's cite-extractor would parse back out. Integer-only fields
+    go into the answer text (floats stay in their own hashed columns
+    upstream) so string rendering is engine-exact."""
+    hits = kg_rag_retrieve(spark, sf_dir)
+    agg = hits.agg(
+        F.count("*").alias("n_hits"),
+        F.sort_array(F.collect_list(
+            F.struct("rank", "doc_id", "text_score"))).alias("hs"))
+    evid = F.array_join(
+        F.transform("hs", lambda h: F.format_string(
+            "doc %d (rank %d, %d term hits)",
+            h["doc_id"], h["rank"], h["text_score"])), "; ")
+    return agg.select(
+        F.lit(RAG_TERM).alias("query"),
+        F.col("n_hits"),
+        F.format_string('Query "%s": %d results. Evidence: %s',
+                        F.lit(RAG_TERM), F.col("n_hits"), evid).alias("answer"),
+        F.array_join(
+            F.transform("hs", lambda h: h["doc_id"].cast("string")),
+            ",").alias("cited_docs"))
+
+
+SQL_KG_RAG_ANSWER = f"""
+SELECT '{RAG_TERM}' AS query,
+       COUNT(*) AS n_hits,
+       printf('Query "%s": %d results. Evidence: %s', '{RAG_TERM}', COUNT(*),
+              string_agg(printf('doc %d (rank %d, %d term hits)',
+                                doc_id, rank, text_score),
+                         '; ' ORDER BY rank)) AS answer,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank) AS cited_docs
+FROM ({SQL_KG_RAG_RETRIEVE}) hits
+"""
+
+
 # ---------------------------------------------------------------------------
 # J4 — explicit entity -> conversation MENTIONED_IN projection
 # ---------------------------------------------------------------------------
@@ -904,6 +1007,8 @@ ORDER BY rank
 
 KG_ANALYTICS_REGISTRY = {
     "kg_rag_retrieve": (kg_rag_retrieve, SQL_KG_RAG_RETRIEVE),
+    "kg_rag_answer": (kg_rag_answer, SQL_KG_RAG_ANSWER),
+    "kg_merge_audit": (kg_merge_audit, SQL_KG_MERGE_AUDIT),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

@@ -100,3 +100,38 @@ def test_rag_retrieve_never_broadcasts_full_degree_table(spark):
     plan = _plan(kg_rag_retrieve(spark, SF))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_reuses_edge_partitioning(spark):
+    # r2 verdict: each PageRank iteration must NOT reshuffle the edge list.
+    # The edge table is repartition(a)+cached once; the per-iteration join
+    # has to consume the cached HashPartitioning directly — no Exchange
+    # between the join and the edge-side InMemoryTableScan.
+    from pyspark.sql import functions as F
+    from owl_n4j_spark.plans.graph_algos import (
+        _pr_contrib, _sym, copresence_edges)
+    sym = _sym(copresence_edges(spark, SF)).cache()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    n_v = deg.count()
+    ranks = deg.select(F.col("a").alias("v"), (F.lit(1.0) / n_v).alias("r"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = sym.join(deg, "a").repartition(n_part, "a").cache()
+        out.count()
+        plan = (_pr_contrib(out, ranks)._jdf.queryExecution()
+                .executedPlan().toString())
+        lines = plan.splitlines()
+        ji = next(i for i, ln in enumerate(lines) if "Join" in ln)
+        between = []
+        for ln in lines[ji + 1:]:
+            if "InMemoryTableScan" in ln:
+                break
+            between.append(ln)
+        assert not any("Exchange" in ln for ln in between), "\n".join(
+            lines[ji:ji + 6])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        out.unpersist()
+        sym.unpersist()
