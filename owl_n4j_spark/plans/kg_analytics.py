@@ -59,6 +59,53 @@ def kg_result(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# S1 — raw UFED-XML ingestion: streamed chunked parse -> transcripts contract
+# ---------------------------------------------------------------------------
+
+
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-XML ingestion proof (SURVEY S1 —
+    ingestion/scripts/cellebrite/parser.py:658-757): UFED-shaped XML dumps
+    (generated once per sf from the driver events table, so expectations
+    stay relational) are parsed by the streaming mapInPandas reader into
+    the transcripts contract, then summarized per conversation. The
+    summary columns are all derivable from ``events`` without re-rendering
+    text, giving the parse an exact DuckDB oracle; turn-for-turn text
+    parity of parse(generate(T)) == T is pinned in tests/test_ufed_xml.py."""
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml, write_ufed_xml
+
+    xml_dir = warehouse_dir(spark, sf_dir, "ufed_xml")
+    marker = os.path.join(xml_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_ufed_xml(spark, sf_dir, xml_dir)
+        open(marker, "w").close()
+    tr = read_ufed_xml(spark, xml_dir)
+    return (
+        tr.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("text") == "ok", 1).otherwise(0))
+             .cast("bigint").alias("n_noise"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min("role").alias("role"))
+        .orderBy("conv_id")
+    )
+
+
+SQL_Q_XML_INGEST = f"""
+WITH {_BASE_CTE}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_noise,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       substring(MIN(spk), 7) || '@s.whatsapp.net' AS role
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 — merge-audit surface: every canonicalization decision with its method
 # ---------------------------------------------------------------------------
 
@@ -1009,6 +1056,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_rag_retrieve": (kg_rag_retrieve, SQL_KG_RAG_RETRIEVE),
     "kg_rag_answer": (kg_rag_answer, SQL_KG_RAG_ANSWER),
     "kg_merge_audit": (kg_merge_audit, SQL_KG_MERGE_AUDIT),
+    "q_xml_ingest": (q_xml_ingest, SQL_Q_XML_INGEST),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

@@ -17,6 +17,8 @@ shingle/token constructions are index-for-index identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1699,6 +1701,36 @@ ORDER BY lang, seq_id
 """
 
 
+def q_doc_ingest_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 proper (r2 verdict item 10): per-format file ingestion. The
+    documents table is rendered to .html/.md files once per sf (test
+    scaffolding), then the binaryFile + dispatching-mapInPandas reader
+    (sources/doc_formats.py — reference ingest_data.py:23-30) extracts
+    main text + metadata back out. Exact oracle: extraction must
+    reconstruct the documents table itself, boilerplate stripped,
+    entities unescaped."""
+    from owl_n4j_spark.plans.kg_analytics import warehouse_dir
+    from owl_n4j_spark.sources.doc_formats import (
+        read_documents_dir,
+        write_doc_files,
+    )
+
+    doc_dir = warehouse_dir(spark, sf_dir, "doc_files")
+    marker = os.path.join(doc_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_doc_files(spark, sf_dir, doc_dir)
+        open(marker, "w").close()
+    return (read_documents_dir(spark, doc_dir)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+SQL_DOC_INGEST_FORMATS = """
+SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1728,4 +1760,5 @@ TEXT_REGISTRY = {
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "q_doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
+    "q_doc_ingest_formats": (q_doc_ingest_formats, SQL_DOC_INGEST_FORMATS),
 }

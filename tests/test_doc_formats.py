@@ -1,0 +1,50 @@
+"""S4 document-format ingestion: round-trip + dispatch robustness."""
+
+import pytest
+
+from owl_n4j_spark.sources.doc_formats import (
+    read_documents_dir,
+    write_doc_files,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_reconstructs_documents_table(spark, tmp_path):
+    out = str(tmp_path / "docs")
+    write_doc_files(spark, SF, out)
+    got = (read_documents_dir(spark, out)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = (spark.read.parquet(f"{SF}/documents.parquet")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    got["n_chars"] = got["n_chars"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text", "lang", "source"]],
+        want[["doc_id", "text", "lang", "source"]])
+    # n_chars recomputed from extracted text must match the table's
+    assert (got["n_chars"] == want["n_chars"]).all()
+
+
+def test_unknown_extension_skipped_and_stub_raises(spark, tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "doc_00000001.md").write_text(
+        "---\nlang: en\nsource: s\n---\n# Document 1\n\nbody text\n")
+    (d / "notes.txt").write_text("not a supported format")
+    rows = read_documents_dir(spark, str(d)).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "body text"
+
+    (d / "doc_00000002.pdf").write_bytes(b"%PDF-1.4 fake")
+    with pytest.raises(Exception, match="NotImplementedError|pdf extraction"):
+        read_documents_dir(spark, str(d)).collect()
+
+
+def test_md_body_with_hash_lines_survives(spark, tmp_path):
+    d = tmp_path / "md"
+    d.mkdir()
+    body = "first line\n# not a heading removal target\nlast line"
+    (d / "doc_00000007.md").write_text(
+        f"---\nlang: fr\nsource: x\n---\n# Document 7\n\n{body}\n")
+    rows = read_documents_dir(spark, str(d)).collect()
+    assert rows[0]["text"] == body

@@ -1,0 +1,101 @@
+"""UFED-XML adapter (SURVEY S1): round-trip exactness + parser robustness."""
+
+import os
+import textwrap
+
+from pyspark.sql import functions as F
+
+from owl_n4j_spark.sources.events_transcripts import transcripts_from_events
+from owl_n4j_spark.sources.ufed_xml import (
+    XML_NS,
+    read_ufed_xml,
+    write_ufed_xml,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pdf(df):
+    return (df.toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+def test_roundtrip_exact(spark, tmp_path):
+    # parse(generate(T)) == T, every column every row — the parser recovers
+    # the transcripts contract bit-for-bit from the XML rendering
+    xml_dir = str(tmp_path / "xml")
+    write_ufed_xml(spark, SF, xml_dir, n_files=4)
+    got = _sorted_pdf(read_ufed_xml(spark, xml_dir))
+    want = _sorted_pdf(transcripts_from_events(spark, SF))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_parser_skips_junk_and_handles_gaps(spark, tmp_path):
+    xml = textwrap.dedent(f"""\
+        <?xml version="1.0" encoding="utf-8"?>
+        <project xmlns="{XML_NS}" name="case-x">
+         <decodedData>
+          <modelType type="Chat">
+           <model type="Chat" id="conv-a" deleted_state="Deleted">
+            <field name="Source" type="String"><value>SMS</value></field>
+            <field name="Junk" type="String"><value>skip me</value></field>
+            <multiModelField name="Messages" type="InstantMessage">
+             <model type="InstantMessage" id="m0">
+              <field name="TimeStamp" type="TimeStamp"><value>2024-03-01T10:00:00.250000</value></field>
+              <modelField name="From" type="Party">
+               <field name="Identifier" type="String"><value>123@s.whatsapp.net</value></field>
+              </modelField>
+              <field name="Body" type="String"><value>hi &amp; bye &lt;3</value></field>
+             </model>
+             <model type="InstantMessage" id="m1">
+              <modelField name="From" type="Party">
+               <field name="Identifier" type="String"><value>123@s.whatsapp.net</value></field>
+              </modelField>
+              <field name="Body" type="String"><empty/></field>
+             </model>
+            </multiModelField>
+           </model>
+           <model type="Chat" id="conv-empty" deleted_state="Intact">
+            <field name="Source" type="String"><value>WhatsApp</value></field>
+            <multiModelField name="Messages" type="InstantMessage"/>
+           </model>
+          </modelType>
+         </decodedData>
+        </project>
+    """)
+    os.makedirs(tmp_path / "x2", exist_ok=True)
+    (tmp_path / "x2" / "one.xml").write_text(xml)
+    rows = (read_ufed_xml(spark, str(tmp_path / "x2"))
+            .orderBy("turn_idx").collect())
+    assert len(rows) == 2                       # empty chat emits nothing
+    assert rows[0]["conv_id"] == "conv-a"
+    assert rows[0]["tool"] == "SMS"
+    assert rows[0]["text"] == "hi & bye <3"      # entities unescaped
+    assert rows[0]["ts"] is not None
+    assert rows[1]["ts"] is None                 # missing TimeStamp -> null
+    assert rows[1]["text"] is None               # <empty/> body -> null
+    assert rows[1]["turn_idx"] == 1              # document order preserved
+
+
+def test_xml_feeds_pipeline_same_as_events_transcripts(spark, tmp_path):
+    # the adapter's output drives the SAME pipeline entry as the native
+    # transcripts source — triples built from XML match triples built
+    # from the events derivation exactly
+    from owl_n4j_spark.pipeline import run_pipeline
+    from owl_n4j_spark.sources.events_transcripts import alias_dict_df
+
+    xml_dir = str(tmp_path / "xml3")
+    write_ufed_xml(spark, SF, xml_dir, n_files=2)
+    tr = read_ufed_xml(spark, xml_dir)
+    res_xml = run_pipeline(spark, tr, alias_dict=alias_dict_df(spark),
+                           with_manifest=False)
+    res_ev = run_pipeline(spark, transcripts_from_events(spark, SF),
+                          alias_dict=alias_dict_df(spark),
+                          with_manifest=False)
+    cols = ["subj_key", "pred", "obj_key", "conv_id", "turn_idx"]
+    a = res_xml["triples"].select(*cols)
+    b = res_ev["triples"].select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
