@@ -59,8 +59,223 @@ def kg_result(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# K6 — cost ledger: per-stage processing cost over the reconciliation rows
+# ---------------------------------------------------------------------------
+
+# micro-units per input row, per stage — the analog of the reference's
+# per-LLM-call cost ledger (ingestion tracks estimated cost per operation);
+# here the priced unit is rows through each pipeline stage.
+STAGE_COST_MICRO = {
+    "normalize": 2,
+    "extract": 40,            # regex/Arrow extraction dominates
+    "link_canonicalize": 25,  # fuzzy candidate join + CC
+    "triples": 4,
+    "materialize_nodes": 6,
+    "edges_referential": 3,
+}
+
+
+def kg_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost ledger over the pipeline manifest (SURVEY K6 — the reference
+    keeps a per-operation cost ledger for its ingest/LLM calls). Each
+    reconciliation stage row is priced at a per-input-row micro-unit rate
+    (broadcast CASE — pure column expr); output adds the stage cost and
+    its share of the run total. One 6-row aggregate — serving-layer cheap."""
+    res = kg_result(spark, sf_dir)
+    rate = F.lit(0)
+    for stage, micro in STAGE_COST_MICRO.items():
+        rate = F.when(F.col("stage") == stage, F.lit(micro)).otherwise(rate)
+    m = (res["manifest"].filter(F.col("partition_id") == -1)
+         .select("stage", "in_rows", "out_rows",
+                 rate.cast("bigint").alias("unit_cost_micro")))
+    m = m.withColumn("cost_micro", F.col("in_rows") * F.col("unit_cost_micro"))
+    tot = m.agg(F.sum("cost_micro").alias("total")).withColumn(
+        "__one", F.lit(1))
+    return (
+        m.withColumn("__one", F.lit(1))
+        .join(F.broadcast(tot), "__one").drop("__one")
+        .select("stage", "in_rows", "out_rows", "unit_cost_micro",
+                "cost_micro",
+                F.round(F.col("cost_micro") * 100.0 / F.col("total"), 4)
+                 .alias("pct_of_total"))
+        .orderBy("stage")
+    )
+
+
+def _sql_kg_cost_ledger() -> str:
+    rate = " ".join(f"WHEN '{s}' THEN {c}"
+                    for s, c in STAGE_COST_MICRO.items())
+    return f"""
+WITH manifest AS ({et.oracle_manifest_sql()}),
+priced AS (
+  SELECT stage, in_rows, out_rows,
+         CAST(CASE stage {rate} ELSE 0 END AS BIGINT) AS unit_cost_micro,
+         CAST(in_rows * (CASE stage {rate} ELSE 0 END) AS BIGINT)
+           AS cost_micro
+  FROM manifest
+)
+SELECT stage, in_rows, out_rows, unit_cost_micro, cost_micro,
+       round(cost_micro * 100.0 / (SELECT SUM(cost_micro) FROM priced), 4)
+         AS pct_of_total
+FROM priced ORDER BY stage
+"""
+
+
+SQL_KG_COST_LEDGER = _sql_kg_cost_ledger()
+
+
+# ---------------------------------------------------------------------------
+# L6 — relationship suggestion: link prediction over shared neighbours
+# ---------------------------------------------------------------------------
+
+SUGGEST_MIN_COMMON = 1
+
+
+def kg_suggest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-relationship suggestion (SURVEY L6 —
+    backend/services/relationship_analyzer.py:34-150 proposes likely
+    person-person links): person pairs that SHARE >= SUGGEST_MIN_COMMON
+    comm-graph neighbours but have no direct edge — the classic
+    common-neighbour link-prediction score, as one plan:
+      symmetric person edge list -> 2-hop self-join on the shared endpoint
+      (equi-join, bounded by degree like q_graph_2hop) -> anti-join against
+      direct edges -> count distinct witnesses per pair.
+    Scale: the self-join shuffles on the shared vertex (partial-agg
+    friendly); no broadcast of anything O(V); the anti-join streams the
+    same edge table."""
+    res = kg_result(spark, sf_dir)
+    e = (res["edges"]
+         .filter(F.col("rel_type").isin("PAID", "CALLED")
+                 & F.col("src_key").startswith("phone-")
+                 & F.col("dst_key").startswith("phone-"))
+         .select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
+         .dropDuplicates())
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cand = (
+        sym.select(F.col("a").alias("x"), F.col("b").alias("src"))
+        .join(sym.select(F.col("a").alias("x"), F.col("b").alias("dst")), "x")
+        .filter(F.col("src") < F.col("dst"))
+        .join(sym.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+              ["src", "dst"], "left_anti")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_common"),
+             F.min("x").alias("sample_witness"))
+        .filter(F.col("n_common") >= SUGGEST_MIN_COMMON)
+        .orderBy("src", "dst")
+    )
+    return cand
+
+
+SQL_KG_SUGGEST_LINKS = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+e AS (
+  SELECT DISTINCT subj_key AS a, obj_key AS b FROM triples
+  WHERE pred IN ('PAID', 'CALLED')
+    AND subj_key LIKE 'phone-%' AND obj_key LIKE 'phone-%'
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+SELECT s1.b AS src, s2.b AS dst,
+       COUNT(*) AS n_common, MIN(s1.a) AS sample_witness
+FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+WHERE NOT EXISTS (SELECT 1 FROM sym d WHERE d.a = s1.b AND d.b = s2.b)
+GROUP BY s1.b, s2.b
+HAVING COUNT(*) >= {SUGGEST_MIN_COMMON}
+ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# L7 — insight generation + verification against the source evidence
+# ---------------------------------------------------------------------------
+
+INSIGHT_MIN_SUPPORT = 2
+
+
+def kg_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insight generate + verify (SURVEY L7 —
+    backend/services/insights_service.py:10 generates claims, then
+    verifies each against the graph/source): payment-pattern insights
+    ('A paid B n times totaling $x') with support >= INSIGHT_MIN_SUPPORT,
+    each claim VERIFIED against the raw transcript text — every
+    supporting triple must locate its amount in its source turn
+    ('paid $<amount> to'), the reference's quote-validation discipline.
+    Money is carried as integer cents end-to-end so the claim string is
+    engine-exact. The verify leg is an equi-join of supporting triples
+    back to the staged transcripts on (conv_id, turn_idx) — bounded,
+    shuffle-partitioned, no windows."""
+    res = kg_result(spark, sf_dir)
+    pay = (res["triples"].filter(F.col("pred") == "PAID")
+           .select("subj_key", "obj_key", "amount", "conv_id", "turn_idx"))
+    tr = res["transcripts"].select("conv_id", "turn_idx", "text")
+    checked = (
+        pay.join(tr, ["conv_id", "turn_idx"], "left")
+        .withColumn(
+            "ok",
+            F.col("text").isNotNull()
+            & F.col("text").contains(
+                F.concat(F.lit("paid $"), F.col("amount"), F.lit(" to"))))
+        .withColumn("cents",
+                    F.regexp_replace("amount", r"\.", "").cast("bigint"))
+    )
+    agg = (
+        checked.groupBy("subj_key", "obj_key")
+        .agg(F.count("*").alias("n_payments"),
+             F.sum("cents").alias("total_cents"),
+             F.min(F.col("ok").cast("int")).alias("all_ok"))
+        .filter(F.col("n_payments") >= INSIGHT_MIN_SUPPORT)
+    )
+    return (
+        agg.select(
+            "subj_key", "obj_key", "n_payments", "total_cents",
+            F.format_string(
+                "%s paid %s %d times totaling $%d.%02d",
+                F.col("subj_key"), F.col("obj_key"), F.col("n_payments"),
+                F.expr("total_cents div 100"),
+                F.expr("total_cents % 100")).alias("claim"),
+            (F.col("all_ok") == 1).alias("verified"))
+        .orderBy("subj_key", "obj_key")
+    )
+
+
+SQL_KG_INSIGHTS = f"""
+WITH {_BASE_CTE},
+pay AS (
+  SELECT spk AS subj_key, oth AS obj_key,
+         CAST(replace(printf('%.2f', value), '.', '') AS BIGINT) AS cents
+  FROM t WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT subj_key, obj_key, COUNT(*) AS n_payments,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM pay GROUP BY subj_key, obj_key
+  HAVING COUNT(*) >= {INSIGHT_MIN_SUPPORT}
+)
+SELECT subj_key, obj_key, n_payments, total_cents,
+       printf('%s paid %s %d times totaling $%d.%02d',
+              subj_key, obj_key, n_payments,
+              total_cents // 100, total_cents % 100) AS claim,
+       TRUE AS verified
+FROM agg ORDER BY subj_key, obj_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # S1 — raw UFED-XML ingestion: streamed chunked parse -> transcripts contract
 # ---------------------------------------------------------------------------
+
+
+def ensure_ufed_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Generate the UFED-XML fixture dumps once per (session, sf) —
+    test scaffolding, benchmarked under its own name so the parse
+    operator's timing stays honest."""
+    from owl_n4j_spark.sources.ufed_xml import write_ufed_xml
+
+    xml_dir = warehouse_dir(spark, sf_dir, "ufed_xml")
+    marker = os.path.join(xml_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_ufed_xml(spark, sf_dir, xml_dir)
+        open(marker, "w").close()
+    return xml_dir
 
 
 def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,14 +287,9 @@ def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary columns are all derivable from ``events`` without re-rendering
     text, giving the parse an exact DuckDB oracle; turn-for-turn text
     parity of parse(generate(T)) == T is pinned in tests/test_ufed_xml.py."""
-    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml, write_ufed_xml
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
 
-    xml_dir = warehouse_dir(spark, sf_dir, "ufed_xml")
-    marker = os.path.join(xml_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_ufed_xml(spark, sf_dir, xml_dir)
-        open(marker, "w").close()
-    tr = read_ufed_xml(spark, xml_dir)
+    tr = read_ufed_xml(spark, ensure_ufed_xml(spark, sf_dir))
     return (
         tr.groupBy("conv_id").agg(
             F.count("*").alias("n_turns"),
@@ -1057,6 +1267,9 @@ KG_ANALYTICS_REGISTRY = {
     "kg_rag_answer": (kg_rag_answer, SQL_KG_RAG_ANSWER),
     "kg_merge_audit": (kg_merge_audit, SQL_KG_MERGE_AUDIT),
     "q_xml_ingest": (q_xml_ingest, SQL_Q_XML_INGEST),
+    "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
+    "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
+    "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

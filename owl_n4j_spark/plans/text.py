@@ -1701,6 +1701,20 @@ ORDER BY lang, seq_id
 """
 
 
+def ensure_doc_files(spark: SparkSession, sf_dir: str) -> str:
+    """Render the documents table to per-doc .html/.md files once per
+    (session, sf) — fixture scaffolding, benchmarked under its own name."""
+    from owl_n4j_spark.plans.kg_analytics import warehouse_dir
+    from owl_n4j_spark.sources.doc_formats import write_doc_files
+
+    doc_dir = warehouse_dir(spark, sf_dir, "doc_files")
+    marker = os.path.join(doc_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_doc_files(spark, sf_dir, doc_dir)
+        open(marker, "w").close()
+    return doc_dir
+
+
 def q_doc_ingest_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 proper (r2 verdict item 10): per-format file ingestion. The
     documents table is rendered to .html/.md files once per sf (test
@@ -1709,18 +1723,9 @@ def q_doc_ingest_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     main text + metadata back out. Exact oracle: extraction must
     reconstruct the documents table itself, boilerplate stripped,
     entities unescaped."""
-    from owl_n4j_spark.plans.kg_analytics import warehouse_dir
-    from owl_n4j_spark.sources.doc_formats import (
-        read_documents_dir,
-        write_doc_files,
-    )
+    from owl_n4j_spark.sources.doc_formats import read_documents_dir
 
-    doc_dir = warehouse_dir(spark, sf_dir, "doc_files")
-    marker = os.path.join(doc_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_doc_files(spark, sf_dir, doc_dir)
-        open(marker, "w").close()
-    return (read_documents_dir(spark, doc_dir)
+    return (read_documents_dir(spark, ensure_doc_files(spark, sf_dir))
             .select("doc_id", "text", "lang", "source", "n_chars")
             .orderBy("doc_id"))
 

@@ -179,8 +179,12 @@ def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
     binaryFile pushes the path filter down."""
     import pandas as pd
 
+    # directory + pathGlobFilter, never a multi-file glob: globs past 32
+    # matches trigger a one-task-per-file distributed listing job (see
+    # doc_formats.read_documents_dir)
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(xml_dir, "*.xml"))
+             .option("pathGlobFilter", "*.xml")
+             .load(xml_dir)
              .select("path", "content"))
 
     def parse(batches):
@@ -195,7 +199,8 @@ def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
                     out["turn_idx"] = out["turn_idx"].astype("int32")
                     yield out
 
-    # repartition so every file is its own task even when binaryFile packs
-    # small test files together; at dump scale files exceed
-    # maxPartitionBytes and are one-per-task anyway
-    return files.repartition("path").mapInPandas(parse, TRANSCRIPT_SCHEMA)
+    # natural binaryFile partitioning: dumps are not splittable, so at real
+    # scale each multi-GB file is its own task; small test files pack
+    # together via the open-cost heuristic. (An earlier repartition("path")
+    # here shuffled every content byte for zero benefit at dump scale.)
+    return files.mapInPandas(parse, TRANSCRIPT_SCHEMA)
