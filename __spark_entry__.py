@@ -48,9 +48,10 @@ _GATE_R3 = [
     "kg_location_tiles", "kg_suggest_links", "kg_insights",
     # graph suite (pagerank re-planned; pair paths + supergraph new;
     # degree/2hop rotate out — r2-green trivial shapes)
+    "q_xml_attachments",
     "q_pagerank", "q_graph_pair_paths", "q_community_supergraph",
     "q_graph_cc", "q_betweenness", "q_louvain", "q_lpa_communities",
-    "q_graph_triangles", "q_graph_shortest_paths",
+    "q_graph_shortest_paths",
     # geo suite
     "q_reverse_geocode", "q_geo_copresence", "q_convoys", "q_tower_coreg",
     # curation suite — first driver rows (verdict item 8) + changed data_mix

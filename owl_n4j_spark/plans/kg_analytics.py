@@ -730,6 +730,63 @@ SQL_KG_LOCATION_TILES = _sql_kg_location_tiles()
 
 
 # ---------------------------------------------------------------------------
+# S3/J10 — attachment header metadata: EXIF parse + per-turn attachment map
+# ---------------------------------------------------------------------------
+
+
+def q_xml_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment metadata pipeline (SURVEY S3 taggedFiles/header parse +
+    J10 attachment map; reference parser.py:33-77 EXIF converters +
+    neo4j_writer attachment linking): the streamed XML parse emits RAW
+    header strings; sexagesimal GPS and EXIF datetimes normalize in pure
+    column expressions (functions/exif.py — whole-stage codegen, no
+    Python). Every value is relationally derivable from events, so the
+    whole parse+normalize path has an exact oracle."""
+    from owl_n4j_spark.functions.exif import exif_dt_to_iso, exif_gps_to_decimal
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_attachments
+
+    att = read_ufed_attachments(spark, ensure_ufed_xml(spark, sf_dir))
+    return (
+        att.select(
+            "conv_id", "turn_idx", "filename", "mime", "size_bytes",
+            F.to_timestamp(exif_dt_to_iso(F.col("exif_dt")),
+                           "yyyy-MM-dd'T'HH:mm:ss").alias("taken_ts"),
+            F.round(exif_gps_to_decimal(F.col("gps_lat"),
+                                        F.col("gps_lat_ref")), 6).alias("lat"),
+            F.round(exif_gps_to_decimal(F.col("gps_lon"),
+                                        F.col("gps_lon_ref")), 6).alias("lon"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _sql_q_xml_attachments() -> str:
+    rows = ", ".join(
+        f"({i}, {CITY_COORDS[_nk(c)][0]}, {CITY_COORDS[_nk(c)][1]})"
+        for i, c in enumerate(_CITIES))
+    return f"""
+WITH {_BASE_CTE},
+city(i, lat, lon) AS (VALUES {rows})
+SELECT conv_id, turn_idx,
+       CASE WHEN event_type = 'purchase'
+            THEN printf('receipt_%s_%d.jpg', conv_id, turn_idx)
+            ELSE printf('photo_%s_%d.jpg', conv_id, turn_idx) END AS filename,
+       'image/jpeg' AS mime,
+       CASE WHEN event_type = 'purchase'
+            THEN CAST(replace(printf('%.2f', value), '.', '') AS BIGINT)
+            ELSE event_id % 100000 + 1000 END AS size_bytes,
+       date_trunc('second', ts) AS taken_ts,
+       CASE WHEN event_type = 'click' THEN round(c.lat, 6) END AS lat,
+       CASE WHEN event_type = 'click' THEN round(c.lon, 6) END AS lon
+FROM t LEFT JOIN city c ON c.i = event_id % {len(_CITIES)}
+WHERE event_type IN ('purchase', 'click')
+ORDER BY conv_id, turn_idx
+"""
+
+
+SQL_Q_XML_ATTACHMENTS = _sql_q_xml_attachments()
+
+
+# ---------------------------------------------------------------------------
 # P3 — date-range filter + 2-hop closure
 # ---------------------------------------------------------------------------
 
@@ -1270,6 +1327,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),
+    "q_xml_attachments": (q_xml_attachments, SQL_Q_XML_ATTACHMENTS),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

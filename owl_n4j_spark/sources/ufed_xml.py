@@ -39,6 +39,83 @@ TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
                      "text string, tool string, ts timestamp")
 
 
+def _sexagesimal(dec: float) -> tuple[str, str]:
+    """decimal degrees -> ('deg, min, sec', hemisphere-ref) such that
+    deg + min/60 + sec/3600 reconstructs to round(dec, 6) exactly
+    (asserted over the whole gazetteer in tests)."""
+    ref = "N" if dec >= 0 else "S"
+    a = abs(dec)
+    deg = int(a)
+    mnt = int((a - deg) * 60 + 1e-9)
+    sec = round((a - deg - mnt / 60) * 3600, 4)
+    return f"{deg}, {mnt}, {sec}", ref
+
+
+def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
+    """(conv_id, turn_idx) -> attachment-model XML snippet.
+
+    Purchase turns carry a receipt image (size = the payment in cents);
+    click/travel turns carry a photo whose EXIF header holds the visited
+    city's GPS as sexagesimal strings — the taggedFiles/header metadata the
+    reference's parser normalizes (SURVEY S3, parser.py:33-77)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from owl_n4j_spark.plans.kg_analytics import CITY_COORDS
+    from owl_n4j_spark.synth import CITIES
+
+    from owl_n4j_spark.functions.keys import normalise_key
+    coords = [CITY_COORDS[normalise_key(c)] for c in CITIES]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pdf = (ev.select(
+        F.format_string("conv-%05d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "event_type", "value", "event_id", "ts")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .toPandas())
+    out = {}
+    for r in pdf.itertuples(index=False):
+        exif_dt = r.ts.strftime("%Y:%m:%d %H:%M:%S")
+        if r.event_type == "purchase":
+            name = f"receipt_{r.conv_id}_{r.turn_idx}.jpg"
+            size = int(("%.2f" % r.value).replace(".", ""))
+            gps = ""
+        else:
+            name = f"photo_{r.conv_id}_{r.turn_idx}.jpg"
+            size = int(r.event_id) % 100000 + 1000
+            lat, lon = coords[int(r.event_id) % len(CITIES)]
+            la, la_ref = _sexagesimal(lat)
+            lo, lo_ref = _sexagesimal(lon)
+            lo_ref = {"N": "E", "S": "W"}[lo_ref]
+            gps = (
+                f'        <field name="GPSLatitude" type="String">'
+                f'<value>{la}</value></field>\n'
+                f'        <field name="GPSLatitudeRef" type="String">'
+                f'<value>{la_ref}</value></field>\n'
+                f'        <field name="GPSLongitude" type="String">'
+                f'<value>{lo}</value></field>\n'
+                f'        <field name="GPSLongitudeRef" type="String">'
+                f'<value>{lo_ref}</value></field>\n')
+        out[(r.conv_id, r.turn_idx)] = (
+            '      <multiModelField name="Attachments" type="Attachment">\n'
+            f'       <model type="Attachment" '
+            f'id="{r.conv_id}#{r.turn_idx}#a0">\n'
+            f'        <field name="Filename" type="String">'
+            f'<value>{name}</value></field>\n'
+            '        <field name="ContentType" type="String">'
+            '<value>image/jpeg</value></field>\n'
+            f'        <field name="FileSize" type="Long">'
+            f'<value>{size}</value></field>\n'
+            f'        <field name="DateTimeOriginal" type="String">'
+            f'<value>{exif_dt}</value></field>\n'
+            f'{gps}'
+            '       </model>\n'
+            '      </multiModelField>\n')
+    return out
+
+
 def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                    n_files: int = 8) -> str:
     """Render the events-derived transcripts as UFED-shaped XML dumps.
@@ -54,6 +131,7 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
     pdf = (transcripts_from_events(spark, sf_dir)
            .toPandas()
            .sort_values(["conv_id", "turn_idx"]))
+    att = _attachment_xml(spark, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
     handles = {}
     try:
@@ -94,6 +172,7 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                 '       <field name="Role" type="String">'
                 '<value>From</value></field>\n'
                 '      </modelField>\n'
+                f'{att.get((row.conv_id, row.turn_idx), "")}'
                 '      <field name="Body" type="String">'
                 f'<value>{escape(row.text or "")}</value></field>\n'
                 '      <field name="Label" type="String"><empty/></field>\n'
@@ -107,23 +186,36 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
     return out_dir
 
 
-def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS):
-    """Streaming UFED parse: yields lists of transcript tuples.
+def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
+                       emit: str = "turns"):
+    """Streaming UFED parse: yields lists of tuples.
+
+    ``emit='turns'``  -> (conv_id, turn_idx, role, text, tool, ts)
+    ``emit='attachments'`` -> (conv_id, turn_idx, filename, mime, size,
+                               exif_dt, gps_lat, gps_lat_ref, gps_lon,
+                               gps_lon_ref)
 
     Depth-tracked iterparse (parser.py:658-757): nested <model> elements
-    (Party inside InstantMessage inside Chat) are told apart by the model
-    depth counter, unknown fields/attributes are skipped, and consumed
-    message elements are cleared so memory stays O(batch)."""
+    (Party inside InstantMessage inside Chat; Attachment at depth 3) are
+    told apart by the model depth counter, unknown fields/attributes are
+    skipped, and consumed elements are cleared so memory stays O(batch)."""
     import xml.etree.ElementTree as ET
 
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
 
+    def fields_of(elem) -> dict:
+        out = {}
+        for f in elem.iter(f"{{{XML_NS}}}field"):
+            v = f.find(f"{{{XML_NS}}}value")
+            out[f.get("name")] = None if v is None else v.text
+        return out
+
     rows: list[tuple] = []
     chat_id = None
     tool = None
     turn_idx = 0
-    depth = 0            # <model> nesting depth: 1=Chat, 2=InstantMessage
+    depth = 0    # <model> nesting: 1=Chat, 2=InstantMessage, 3=Attachment
     chat_elem = None
     for event, elem in ET.iterparse(stream, events=("start", "end")):
         tag = local(elem.tag)
@@ -144,29 +236,31 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS):
             tool = v.text if v is not None else None
         elif tag == "model":
             mtype = elem.get("type")
-            if depth == 2 and mtype == "InstantMessage" and chat_id:
-                ts_s = body = role = None
-                for f in elem.iter(f"{{{XML_NS}}}field"):
-                    v = f.find(f"{{{XML_NS}}}value")
-                    val = None if v is None else v.text
-                    name = f.get("name")
-                    if name == "TimeStamp":
-                        ts_s = val
-                    elif name == "Body":
-                        body = val
-                    elif name == "Identifier":
-                        role = val
-                rows.append((chat_id, turn_idx, role, body, tool, ts_s))
+            if depth == 3 and mtype == "Attachment" and chat_id:
+                if emit == "attachments":
+                    f = fields_of(elem)
+                    rows.append((
+                        chat_id, turn_idx, f.get("Filename"),
+                        f.get("ContentType"), f.get("FileSize"),
+                        f.get("DateTimeOriginal"), f.get("GPSLatitude"),
+                        f.get("GPSLatitudeRef"), f.get("GPSLongitude"),
+                        f.get("GPSLongitudeRef")))
+                elem.clear()    # message extraction must not see these
+            elif depth == 2 and mtype == "InstantMessage" and chat_id:
+                if emit == "turns":
+                    f = fields_of(elem)
+                    rows.append((chat_id, turn_idx, f.get("Identifier"),
+                                 f.get("Body"), tool, f.get("TimeStamp")))
                 turn_idx += 1
                 elem.clear()    # bound memory: message subtree is consumed
-                if len(rows) >= batch_rows:
-                    yield rows
-                    rows = []
             elif depth == 1:
                 if chat_elem is not None:
                     chat_elem.clear()
                 chat_id, chat_elem = None, None
             depth -= 1
+            if len(rows) >= batch_rows:
+                yield rows
+                rows = []
     if rows:
         yield rows
 
@@ -204,3 +298,40 @@ def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
     # together via the open-cost heuristic. (An earlier repartition("path")
     # here shuffled every content byte for zero benefit at dump scale.)
     return files.mapInPandas(parse, TRANSCRIPT_SCHEMA)
+
+
+ATTACHMENT_SCHEMA = ("conv_id string, turn_idx int, filename string, "
+                     "mime string, size_bytes bigint, exif_dt string, "
+                     "gps_lat string, gps_lat_ref string, gps_lon string, "
+                     "gps_lon_ref string")
+
+
+def read_ufed_attachments(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """UFED XML directory -> raw attachment metadata rows (SURVEY S3
+    taggedFiles/header parse + J10 attachment map). Same streaming parse
+    as read_ufed_xml with the Attachment emitter; EXIF strings come out
+    RAW — normalization (sexagesimal GPS -> decimal, EXIF datetime ->
+    timestamp) happens in column expressions downstream
+    (functions/exif.py), never in the Python worker."""
+    import pandas as pd
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.xml")
+             .load(xml_dir)
+             .select("path", "content"))
+
+    cols = ["conv_id", "turn_idx", "filename", "mime", "size_bytes",
+            "exif_dt", "gps_lat", "gps_lat_ref", "gps_lon", "gps_lon_ref"]
+
+    def parse(batches):
+        from io import BytesIO
+        for pdf in batches:
+            for content in pdf["content"]:
+                for rows in _parse_ufed_stream(BytesIO(bytes(content)),
+                                               emit="attachments"):
+                    out = pd.DataFrame(rows, columns=cols)
+                    out["turn_idx"] = out["turn_idx"].astype("int32")
+                    out["size_bytes"] = out["size_bytes"].astype("int64")
+                    yield out
+
+    return files.mapInPandas(parse, ATTACHMENT_SCHEMA)

@@ -99,3 +99,36 @@ def test_xml_feeds_pipeline_same_as_events_transcripts(spark, tmp_path):
     b = res_ev["triples"].select(*cols)
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_sexagesimal_roundtrip_whole_gazetteer():
+    # the GPS header write/parse chain must reconstruct round(dec, 6)
+    # exactly for every gazetteer coordinate
+    from owl_n4j_spark.plans.kg_analytics import CITY_COORDS
+    from owl_n4j_spark.sources.ufed_xml import _sexagesimal
+    for lat, lon in CITY_COORDS.values():
+        for dec in (lat, lon):
+            s, ref = _sexagesimal(dec)
+            d, m, sec = [float(x) for x in s.split(",")]
+            recon = d + m / 60 + sec / 3600
+            if ref == "S":
+                recon = -recon
+            assert round(recon, 6) == round(dec, 6)
+
+
+def test_attachments_extracted_and_messages_unaffected(spark, tmp_path):
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_attachments
+    xml_dir = str(tmp_path / "xml_att")
+    write_ufed_xml(spark, SF, xml_dir, n_files=2)
+    att = read_ufed_attachments(spark, xml_dir)
+    rows = att.collect()
+    assert rows, "events corpus has purchase/click turns"
+    by_kind = {r["filename"].split("_")[0] for r in rows}
+    assert by_kind == {"receipt", "photo"}
+    # receipts have EXIF datetime but no GPS; photos have both
+    for r in rows[:50]:
+        assert r["exif_dt"] and len(r["exif_dt"]) == 19
+        if r["filename"].startswith("photo"):
+            assert r["gps_lat"] and r["gps_lat_ref"] in ("N", "S")
+        else:
+            assert r["gps_lat"] is None
