@@ -37,6 +37,65 @@ def read_transcript_stream(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
+def read_xml_dump_stream(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """STREAMING XML model scan (SURVEY S1's literal reference shape —
+    parser.py consumes dumps as they land): a binaryFile file-source
+    stream over the dump directory, each new .xml file parsed by the SAME
+    streaming chunked iterparse as the batch reader
+    (sources/ufed_xml._parse_ufed_stream) into the transcripts contract.
+    Checkpointed offsets mean a landed dump is parsed exactly once across
+    restarts; memory stays O(batch) per dump regardless of dump size."""
+    import os
+
+    import pandas as pd
+
+    from owl_n4j_spark.sources.ufed_xml import (
+        TRANSCRIPT_SCHEMA as XML_OUT_SCHEMA,
+        _parse_ufed_stream,
+    )
+
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.xml")
+             .load(xml_dir)
+             .select("path", "content"))
+
+    def parse(batches):
+        from io import BytesIO
+        for pdf in batches:
+            for content in pdf["content"]:
+                for rows in _parse_ufed_stream(BytesIO(bytes(content))):
+                    out = pd.DataFrame(
+                        rows, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts"])
+                    out["ts"] = pd.to_datetime(out["ts"], format="ISO8601")
+                    out["turn_idx"] = out["turn_idx"].astype("int32")
+                    yield out
+
+    return files.mapInPandas(parse, XML_OUT_SCHEMA)
+
+
+def run_incremental_xml_ingest(
+    spark: SparkSession,
+    xml_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Catch-up-then-stop XML dump ingestion: new dumps -> transcripts
+    parquet, availableNow + checkpoint (a restart never re-parses a
+    committed dump)."""
+    q = (
+        read_xml_dump_stream(spark, xml_dir).writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def extract_stream(transcripts: DataFrame,
                    gazetteer: list[str] | None = None) -> DataFrame:
     """Stateless stage 2/3 over a streaming DataFrame — identical operator,

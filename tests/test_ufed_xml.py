@@ -132,3 +132,36 @@ def test_attachments_extracted_and_messages_unaffected(spark, tmp_path):
             assert r["gps_lat"] and r["gps_lat_ref"] in ("N", "S")
         else:
             assert r["gps_lat"] is None
+
+
+def test_streaming_xml_ingest_incremental_and_restart_safe(spark, tmp_path):
+    # SURVEY S1 as a STREAM: dumps land incrementally; availableNow +
+    # checkpoint parses each committed dump exactly once across restarts
+    import shutil
+
+    from owl_n4j_spark.streaming.incremental import run_incremental_xml_ingest
+
+    all_dir = tmp_path / "all"
+    live = tmp_path / "live"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    live.mkdir()
+    write_ufed_xml(spark, SF, str(all_dir), n_files=4)
+    dumps = sorted(os.listdir(all_dir))
+    for f in dumps[:2]:
+        shutil.copy(all_dir / f, live / f)
+    run_incremental_xml_ingest(spark, str(live), out, ck)
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1
+    for f in dumps[2:]:
+        shutil.copy(all_dir / f, live / f)
+    run_incremental_xml_ingest(spark, str(live), out, ck)
+    got = spark.read.parquet(out)
+    want = transcripts_from_events(spark, SF)
+    assert got.count() == want.count() > n1
+    # third run with nothing new: no re-parse, no duplicates
+    run_incremental_xml_ingest(spark, str(live), out, ck)
+    assert spark.read.parquet(out).count() == want.count()
+    # content parity with the batch derivation
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
