@@ -46,11 +46,12 @@ _GATE_R3 = [
     "kg_triples", "kg_nodes", "kg_edges", "kg_manifest",
     "kg_rag_retrieve", "kg_rag_answer", "kg_merge_audit", "q_xml_ingest",
     "kg_location_tiles", "kg_suggest_links", "kg_insights",
+    "kg_fuzzy_resolve",
     # graph suite (pagerank re-planned; pair paths + supergraph new;
     # degree/2hop rotate out — r2-green trivial shapes)
     "q_xml_attachments",
     "q_pagerank", "q_graph_pair_paths", "q_community_supergraph",
-    "q_graph_cc", "q_betweenness", "q_louvain", "q_lpa_communities",
+    "q_graph_cc", "q_betweenness", "q_louvain",
     "q_graph_shortest_paths",
     # geo suite
     "q_reverse_geocode", "q_geo_copresence", "q_convoys", "q_tower_coreg",

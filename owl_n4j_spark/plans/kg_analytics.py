@@ -59,6 +59,117 @@ def kg_result(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# L2 — fuzzy disambiguation as a driver-checkable operator
+# ---------------------------------------------------------------------------
+
+
+def kg_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disambiguation benchmark (SURVEY L2/J2 —
+    entity_resolution.py:54-135's fuzzy candidate search + scorer): every
+    OBSERVED person name key is corrupted by a deterministic typo (drop
+    the 3rd character of the last-name token, preserving the blocking
+    token), then resolved through the REAL linking operator
+    (operators/linking.build_key_mapping: exact broadcast join -> blocked
+    fuzzy candidate join -> levenshtein-ratio top-1 >= 0.84). The oracle
+    mirrors the whole cascade in SQL over the embedded alias dictionary,
+    so the disambiguation path itself — not just its parity tests — is
+    driver-hash-checked."""
+    from owl_n4j_spark.operators.linking import build_key_mapping
+
+    res = kg_result(spark, sf_dir)
+    names = (res["mapping"]
+             .filter(F.col("canonical_key").startswith("phone-")
+                     & ~F.col("raw_key").startswith("phone-"))
+             .select(F.col("raw_key").alias("k")).dropDuplicates())
+    corr = (
+        names
+        .selectExpr("k",
+                    "substring(k, length(split_part(k, '-', 1)) + 2) AS t")
+        .selectExpr("concat(split_part(k, '-', 1), '-', "
+                    "substring(t, 1, 2), substring(t, 4)) AS raw_key")
+        .dropDuplicates()
+        .withColumn("mention_type", F.lit("Person"))
+    )
+    mapping = build_key_mapping(corr, et.alias_dict_df(spark),
+                                fuzzy_strategy="block")
+    return mapping.select("raw_key", "canonical_key", "method") \
+                  .orderBy("raw_key")
+
+
+def _sql_kg_fuzzy_resolve() -> str:
+    from owl_n4j_spark.sources.events_transcripts import _universe
+    from owl_n4j_spark.synth import alias_dict_pandas
+    u = _universe()
+    pm_rows = ", ".join(f"({p.idx}, '{p.name_key}')" for p in u.persons)
+    dict_rows = ", ".join(
+        f"('{r.alias}', '{r.canonical_key}', '{r.entity_type}')"
+        for r in alias_dict_pandas(u).itertuples(index=False))
+    return f"""
+WITH {_BASE_CTE},
+users_named AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx
+  FROM t WHERE event_type != 'error'
+),
+others AS (
+  SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) + 1 AS idx
+  FROM t WHERE event_type IN ('purchase', 'view')
+),
+name_people AS (SELECT idx FROM users_named UNION SELECT idx FROM others),
+pm(idx, name_key) AS (VALUES {pm_rows}),
+ad(alias, ck, et) AS (VALUES {dict_rows}),
+observed AS (
+  SELECT DISTINCT pm.name_key AS k
+  FROM name_people np JOIN pm ON pm.idx = np.idx
+),
+corr AS (
+  SELECT DISTINCT concat(split_part(k, '-', 1), '-',
+                         substring(t, 1, 2), substring(t, 4)) AS raw_key
+  FROM (SELECT k, substring(k, length(split_part(k, '-', 1)) + 2) AS t
+        FROM observed)
+),
+exact AS (
+  SELECT c.raw_key, d.ck FROM corr c JOIN ad d ON d.alias = c.raw_key
+),
+unres AS (
+  SELECT raw_key FROM corr
+  WHERE raw_key NOT IN (SELECT raw_key FROM exact)
+),
+cand AS (
+  SELECT alias, ck FROM ad
+  WHERE alias NOT LIKE 'phone-%' AND alias NOT LIKE 'email-%'
+    AND et = 'Person'
+),
+scored AS (
+  SELECT u.raw_key, c.ck,
+         1.0 - CAST(levenshtein(u.raw_key, c.alias) AS DOUBLE)
+             / greatest(length(u.raw_key), length(c.alias)) AS score
+  FROM unres u
+  JOIN cand c ON split_part(u.raw_key, '-', 1) = split_part(c.alias, '-', 1)
+),
+best AS (
+  SELECT raw_key, ck FROM (
+    SELECT raw_key, ck,
+           row_number() OVER (PARTITION BY raw_key
+                              ORDER BY score DESC, ck) AS rn
+    FROM scored WHERE score >= 0.84
+  ) WHERE rn = 1
+),
+rows AS (
+  SELECT raw_key, ck AS canonical_key, 'exact' AS method FROM exact
+  UNION ALL
+  SELECT raw_key, ck, 'fuzzy' FROM best
+  UNION ALL
+  SELECT raw_key, raw_key, 'self' FROM unres
+  WHERE raw_key NOT IN (SELECT raw_key FROM best)
+)
+SELECT raw_key, canonical_key, method FROM rows ORDER BY raw_key
+"""
+
+
+SQL_KG_FUZZY_RESOLVE = _sql_kg_fuzzy_resolve()
+
+
+# ---------------------------------------------------------------------------
 # K6 — cost ledger: per-stage processing cost over the reconciliation rows
 # ---------------------------------------------------------------------------
 
@@ -1328,6 +1439,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),
     "q_xml_attachments": (q_xml_attachments, SQL_Q_XML_ATTACHMENTS),
+    "kg_fuzzy_resolve": (kg_fuzzy_resolve, SQL_KG_FUZZY_RESOLVE),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),
