@@ -135,3 +135,29 @@ def test_pagerank_iteration_reuses_edge_partitioning(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         out.unpersist()
         sym.unpersist()
+
+
+def test_ingest_sources_are_map_only_until_rollup(spark):
+    # XML and doc-format ingestion must be pure map stages (binaryFile scan
+    # -> Arrow mapInPandas) with no shuffle before their aggregation/sort
+    from owl_n4j_spark.plans.kg_analytics import ensure_ufed_xml
+    from owl_n4j_spark.sources.doc_formats import read_documents_dir
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
+    from owl_n4j_spark.plans.text import ensure_doc_files
+
+    xml = read_ufed_xml(spark, ensure_ufed_xml(spark, SF))
+    plan = _plan(xml)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Sort" not in plan
+
+    docs = read_documents_dir(spark, ensure_doc_files(spark, SF))
+    plan = _plan(docs)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_suggest_links_no_cartesian(spark):
+    from owl_n4j_spark.plans.kg_analytics import kg_suggest_links
+    plan = _plan(kg_suggest_links(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
