@@ -46,7 +46,7 @@ _GATE_R3 = [
     "kg_triples", "kg_nodes", "kg_edges", "kg_manifest",
     "kg_rag_retrieve", "kg_rag_answer", "kg_merge_audit", "q_xml_ingest",
     "kg_location_tiles", "kg_suggest_links", "kg_insights",
-    "kg_fuzzy_resolve",
+    "kg_fuzzy_resolve", "kg_nl_route",
     # graph suite (pagerank re-planned; pair paths + supergraph new;
     # degree/2hop rotate out — r2-green trivial shapes)
     "q_xml_attachments",
@@ -62,7 +62,7 @@ _GATE_R3 = [
     # text/dedup/ANN distinct shapes
     "q_doc_chunks", "q_doc_summary", "q_doc_search", "q_bm25_search",
     "q_neardup_survivors", "q_doc_token_stats", "q_doc_quality",
-    "q_lang_id", "q_doc_fingerprint", "q_winnowing", "q_exact_dedup",
+    "q_lang_id", "q_doc_fingerprint", "q_exact_dedup",
     "q_ngram_jaccard_pairs", "q_minhash_lsh_pairs", "q_simhash",
     "q_knn_bruteforce", "q_ann_signlsh",
 ]

@@ -59,6 +59,94 @@ def kg_result(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# L8 (first half) — NL -> query routing before the RAG fallback
+# ---------------------------------------------------------------------------
+
+# The reference tries NL -> Cypher template routing FIRST and falls back to
+# RAG retrieval when no template matches (rag_service.py:627-686). The
+# routable intents and the benchmark question set are fixed config (the
+# reference's templates are too); entities/parameters are extracted from
+# the question text by the same rules in both engines.
+NL_QUESTIONS = [
+    "who did phone-12002000000 pay most often",
+    "show the timeline for conv-00000003",
+    "top 10 most connected people",
+    "where was phone-12012070013 last seen",
+    "summarize the graph",
+    "find documents about window replacement",
+    "which people travelled together last month",
+    "how many messages are in each thread",
+    "what does the weather look like tomorrow",
+    "top 3 most connected people",
+]
+
+
+def kg_nl_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL -> query routing (SURVEY L8 first half — rag_service.py:627-686
+    attempts template NL->Cypher before RAG): classify each question to a
+    serving-layer intent by keyword rules, extract its parameters (entity
+    key, conversation id, top-k) with shared-regex column expressions, and
+    emit the routing decision; unroutable questions fall back to
+    'rag_retrieve' — exactly the reference's fallback contract. Pure
+    column expressions over a 10-row config table; the oracle repeats the
+    same rules in SQL, so the routing logic itself is hash-checked."""
+    rows = [(i, q) for i, q in enumerate(NL_QUESTIONS)]
+    df = spark.createDataFrame(rows, "question_id int, question string")
+    q = F.col("question")
+    intent = (
+        F.when(q.contains("pay"), F.lit("kg_payment_facts"))
+        .when(q.contains("timeline"), F.lit("kg_timeline_page"))
+        .when(q.contains("connected"), F.lit("kg_degree_topn"))
+        .when(q.contains("last seen"), F.lit("kg_last_location"))
+        .when(q.contains("summarize"), F.lit("kg_graph_summary"))
+        .when(q.contains("documents about"), F.lit("q_doc_search"))
+        .when(q.contains("travelled together"), F.lit("q_geo_copresence"))
+        .when(q.contains("thread"), F.lit("kg_thread_stats"))
+        .otherwise(F.lit("kg_rag_retrieve"))
+    )
+    return df.select(
+        "question_id", "question",
+        intent.alias("intent"),
+        F.nullif(F.regexp_extract(q, r"(phone-[0-9]+|conv-[0-9]+)", 0),
+                 F.lit("")).alias("entity"),
+        F.nullif(F.regexp_extract(q, r"top ([0-9]+)", 1), F.lit(""))
+         .cast("bigint").alias("top_k"),
+        (intent == "kg_rag_retrieve").alias("rag_fallback"),
+    ).orderBy("question_id")
+
+
+def _sql_kg_nl_route() -> str:
+    rows = ", ".join(f"({i}, '{q}')" for i, q in enumerate(NL_QUESTIONS))
+    return f"""
+WITH nq(question_id, question) AS (VALUES {rows}),
+routed AS (
+  SELECT question_id, CAST(question_id AS INT) AS __qi, question,
+         CASE WHEN question LIKE '%pay%' THEN 'kg_payment_facts'
+              WHEN question LIKE '%timeline%' THEN 'kg_timeline_page'
+              WHEN question LIKE '%connected%' THEN 'kg_degree_topn'
+              WHEN question LIKE '%last seen%' THEN 'kg_last_location'
+              WHEN question LIKE '%summarize%' THEN 'kg_graph_summary'
+              WHEN question LIKE '%documents about%' THEN 'q_doc_search'
+              WHEN question LIKE '%travelled together%'
+                THEN 'q_geo_copresence'
+              WHEN question LIKE '%thread%' THEN 'kg_thread_stats'
+              ELSE 'kg_rag_retrieve' END AS intent,
+         nullif(regexp_extract(question, '(phone-[0-9]+|conv-[0-9]+)', 0),
+                '') AS entity,
+         CAST(nullif(regexp_extract(question, 'top ([0-9]+)', 1), '')
+              AS BIGINT) AS top_k
+  FROM nq
+)
+SELECT CAST(question_id AS INT) AS question_id, question, intent, entity,
+       top_k, intent = 'kg_rag_retrieve' AS rag_fallback
+FROM routed ORDER BY question_id
+"""
+
+
+SQL_KG_NL_ROUTE = _sql_kg_nl_route()
+
+
+# ---------------------------------------------------------------------------
 # L2 — fuzzy disambiguation as a driver-checkable operator
 # ---------------------------------------------------------------------------
 
@@ -1440,6 +1528,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),
     "q_xml_attachments": (q_xml_attachments, SQL_Q_XML_ATTACHMENTS),
     "kg_fuzzy_resolve": (kg_fuzzy_resolve, SQL_KG_FUZZY_RESOLVE),
+    "kg_nl_route": (kg_nl_route, SQL_KG_NL_ROUTE),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),
