@@ -20,10 +20,17 @@ that path Spark-first:
   source (parity with the events-derived transcripts is asserted
   turn-for-turn in tests/test_ufed_xml.py).
 
+The same streamed parse also emits ATTACHMENT models (depth-3 nested:
+receipt/photo metadata with EXIF datetime + sexagesimal GPS headers —
+``read_ufed_attachments``; SURVEY S3/J10), and runs as a Structured
+Streaming source over landing dumps
+(``streaming.incremental.read_xml_dump_stream``; exactly-once per dump
+via checkpointed offsets).
+
 The GENERATOR (``write_ufed_xml``) is test scaffolding: it renders the
 driver ``events`` table through transcripts_from_events into UFED-shaped
 XML, so the parser's expected output is relationally derivable and
-``q_xml_ingest`` gets an exact DuckDB oracle.
+``q_xml_ingest`` / ``q_xml_attachments`` get exact DuckDB oracles.
 """
 
 from __future__ import annotations
