@@ -515,6 +515,59 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 
 
 # ---------------------------------------------------------------------------
+# S2 — case-folder source detection: classify every evidence file by magic
+# ---------------------------------------------------------------------------
+
+
+def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report/source detection over a case folder (SURVEY S2 — the
+    reference BFS-walks the evidence tree to find UFED report XMLs and
+    routable documents before ingestion). Spark-first: one recursive
+    binaryFile scan over the case directories, classification by CONTENT
+    MAGIC (xml declaration + <project> root, html doctype, front-matter
+    fence) in pure column expressions — extension-agnostic, the way the
+    reference sniffs reports. Emits per-kind file counts. Note: binaryFile
+    has no head-only read, so the sniff rides the same scan a subsequent
+    parse would do anyway; a dedicated listing pass would use the
+    path/length columns only (column-pruned, no content I/O)."""
+    from owl_n4j_spark.plans.text import ensure_doc_files
+
+    xml_dir = ensure_ufed_xml(spark, sf_dir)
+    doc_dir = ensure_doc_files(spark, sf_dir)
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true")
+             .load([xml_dir, doc_dir])
+             .select("content"))
+    head = F.substring(F.col("content"), 1, 64).cast("string")
+    kind = (
+        F.when(head.startswith("<?xml") & head.contains("<project"),
+               F.lit("ufed_report"))
+        .when(head.startswith("<!DOCTYPE html"), F.lit("html_doc"))
+        .when(head.startswith("---\n"), F.lit("md_doc"))
+        .otherwise(F.lit("other"))
+    )
+    return (files.select(kind.alias("kind"))
+            .groupBy("kind").agg(F.count("*").alias("n_files"))
+            .orderBy("kind"))
+
+
+# 8 = write_ufed_xml's dump-file split; 1 = its case_notes.txt decoy
+# (Spark's file index hides '_'-prefixed files, so _SUCCESS markers are
+# invisible to the scan by design.)
+SQL_Q_CASE_SCAN = """
+SELECT kind, n_files FROM (
+  SELECT 'html_doc' AS kind, CAST(COUNT(*) AS BIGINT) AS n_files
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'md_doc', CAST(COUNT(*) AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'ufed_report', CAST(8 AS BIGINT)
+  UNION ALL SELECT 'other', CAST(1 AS BIGINT)
+) ORDER BY kind
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 — merge-audit surface: every canonicalization decision with its method
 # ---------------------------------------------------------------------------
 
@@ -1531,6 +1584,7 @@ KG_ANALYTICS_REGISTRY = {
     "q_xml_attachments": (q_xml_attachments, SQL_Q_XML_ATTACHMENTS),
     "kg_fuzzy_resolve": (kg_fuzzy_resolve, SQL_KG_FUZZY_RESOLVE),
     "kg_nl_route": (kg_nl_route, SQL_KG_NL_ROUTE),
+    "q_case_scan": (q_case_scan, SQL_Q_CASE_SCAN),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

@@ -140,6 +140,10 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
            .sort_values(["conv_id", "turn_idx"]))
     att = _attachment_xml(spark, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # a non-report decoy the case scan must classify as 'other'
+    with open(os.path.join(out_dir, "case_notes.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("investigator notes - not evidence\n")
     handles = {}
     try:
         for i in range(n_files):
