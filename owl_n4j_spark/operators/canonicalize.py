@@ -101,6 +101,23 @@ def connected_components(
     )
 
 
+def cross_device_projection(mapping: DataFrame) -> DataFrame:
+    """Cross-phone person projection (SURVEY J11 — the reference unifies a
+    person observed across several phone extractions into one Person with
+    all device numbers attached, neo4j_writer person MERGE). Pure rollup of
+    the canonical mapping: every raw phone-key member grouped under its
+    canonical identity, devices as a sorted array. One hash aggregation —
+    map-side combinable, no windows; output is O(persons)."""
+    ph = (mapping.filter(F.col("raw_key").startswith("phone-"))
+          .select("canonical_key", F.col("raw_key").alias("phone_key"))
+          .dropDuplicates())
+    return (
+        ph.groupBy("canonical_key")
+        .agg(F.array_sort(F.collect_set("phone_key")).alias("phone_keys"))
+        .withColumn("n_devices", F.size("phone_keys").cast("bigint"))
+    )
+
+
 def build_sameas_edges(
     mapping: DataFrame,
     sameas_records: DataFrame,

@@ -92,6 +92,24 @@ class Person:
     def name_key(self) -> str:
         return normalise_key(self.full)
 
+    # -- second device (J11 cross-phone projection) ----------------------
+    # Every 7th person carries a second phone (+91 -> 'phone-91...', which
+    # sorts AFTER every primary 'phone-1...'/'phone-503...' key, so the
+    # component's canonical election still elects the primary). The alt
+    # number only enters the corpus through intro turns ("Call me at ..."),
+    # whose SAME_AS evidence is what unifies the two devices — exactly the
+    # reference's cross-extraction person merge.
+
+    @property
+    def alt_e164(self) -> str | None:
+        if self.idx % 7 != 2:
+            return None
+        return f"+91{7000000000 + (self.idx * 17) % 2999999999:010d}"
+
+    @property
+    def alt_key(self) -> str | None:
+        return None if self.alt_e164 is None else f"phone-{self.alt_e164[1:]}"
+
 
 @dataclass
 class Universe:
@@ -295,7 +313,11 @@ def _gen_text(u, parts, speaker, conv_id, t, rng):
 
     if choice < 0.40:  # intro — same-as signal (name alias <-> phone)
         surface, _ = name_surface(speaker, rng)
-        phone = fmt_phone(speaker, int(rng.randint(0, 4)))
+        style = int(rng.randint(0, 5))
+        if style == 4 and speaker.alt_e164:
+            phone = speaker.alt_e164   # second device (J11 cross-phone)
+        else:
+            phone = fmt_phone(speaker, style)  # style 4 -> e164 fallback
         return f"Hi, this is {surface}. Call me at {phone}.", tr
 
     if choice < 0.50:  # payment
@@ -389,8 +411,11 @@ def alias_dict_pandas(u: Universe) -> pd.DataFrame:
 def expected_components_pandas(u: Universe) -> pd.DataFrame:
     rows = []
     for p in u.persons:
-        for member in {p.key, p.name_key, normalise_key(p.initial),
-                       f"email-{p.email.lower()}"}:
+        members = {p.key, p.name_key, normalise_key(p.initial),
+                   f"email-{p.email.lower()}"}
+        if p.alt_key:
+            members.add(p.alt_key)
+        for member in members:
             rows.append((member, p.key))
     return pd.DataFrame(rows, columns=["member_key", "canonical_key"])
 
