@@ -276,6 +276,24 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
         yield rows
 
 
+def _salvage_batches(gen, path: str):
+    """Consume a per-file parse generator; on malformed XML keep every
+    complete batch already produced and skip the remainder of THAT file
+    only (the reference skips malformed reports rather than failing the
+    whole ingest). The truncation is logged to task stderr so the
+    quarantine trail is reconstructable from executor logs."""
+    import sys
+    while True:
+        try:
+            yield next(gen)
+        except StopIteration:
+            return
+        except Exception as e:   # ET.ParseError, decode errors
+            print(f"ufed_xml: malformed dump truncated at error: "
+                  f"{path}: {e}", file=sys.stderr)
+            return
+
+
 def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
     """UFED XML directory -> transcripts DataFrame (the S1 operator).
 
@@ -295,8 +313,9 @@ def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
     def parse(batches):
         from io import BytesIO
         for pdf in batches:
-            for content in pdf["content"]:
-                for rows in _parse_ufed_stream(BytesIO(bytes(content))):
+            for path, content in zip(pdf["path"], pdf["content"]):
+                gen = _parse_ufed_stream(BytesIO(bytes(content)))
+                for rows in _salvage_batches(gen, path):
                     out = pd.DataFrame(
                         rows, columns=["conv_id", "turn_idx", "role",
                                        "text", "tool", "ts"])
@@ -337,9 +356,10 @@ def read_ufed_attachments(spark: SparkSession, xml_dir: str) -> DataFrame:
     def parse(batches):
         from io import BytesIO
         for pdf in batches:
-            for content in pdf["content"]:
-                for rows in _parse_ufed_stream(BytesIO(bytes(content)),
-                                               emit="attachments"):
+            for path, content in zip(pdf["path"], pdf["content"]):
+                gen = _parse_ufed_stream(BytesIO(bytes(content)),
+                                         emit="attachments")
+                for rows in _salvage_batches(gen, path):
                     out = pd.DataFrame(rows, columns=cols)
                     out["turn_idx"] = out["turn_idx"].astype("int32")
                     out["size_bytes"] = out["size_bytes"].astype("int64")

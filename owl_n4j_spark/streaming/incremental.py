@@ -63,9 +63,12 @@ def read_xml_dump_stream(spark: SparkSession, xml_dir: str) -> DataFrame:
 
     def parse(batches):
         from io import BytesIO
+
+        from owl_n4j_spark.sources.ufed_xml import _salvage_batches
         for pdf in batches:
-            for content in pdf["content"]:
-                for rows in _parse_ufed_stream(BytesIO(bytes(content))):
+            for path, content in zip(pdf["path"], pdf["content"]):
+                gen = _parse_ufed_stream(BytesIO(bytes(content)))
+                for rows in _salvage_batches(gen, path):
                     out = pd.DataFrame(
                         rows, columns=["conv_id", "turn_idx", "role",
                                        "text", "tool", "ts"])

@@ -165,3 +165,21 @@ def test_streaming_xml_ingest_incremental_and_restart_safe(spark, tmp_path):
     # content parity with the batch derivation
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
+
+
+def test_malformed_dump_salvaged_not_fatal(spark, tmp_path):
+    # a truncated dump must not fail the job: its complete batches are
+    # kept, its remainder skipped, and every OTHER dump parses fully
+    xml_dir = tmp_path / "xmlbad"
+    write_ufed_xml(spark, SF, str(xml_dir), n_files=4)
+    dumps = sorted(p for p in os.listdir(xml_dir) if p.endswith(".xml"))
+    victim = xml_dir / dumps[0]
+    data = victim.read_bytes()
+    victim.write_bytes(data[: len(data) // 2])   # truncate mid-element
+    got = read_ufed_xml(spark, str(xml_dir))
+    want = transcripts_from_events(spark, SF)
+    n_got, n_want = got.count(), want.count()
+    assert 0 < n_got < n_want
+    # every parsed row is a true row of the original corpus (no corruption)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
