@@ -568,6 +568,74 @@ SELECT kind, n_files FROM (
 
 
 # ---------------------------------------------------------------------------
+# Cross-extraction intersection: entities present in 2+ device dumps
+# ---------------------------------------------------------------------------
+
+
+def q_extraction_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-extraction entity intersection (reference
+    backend/services/cellebrite_intersection_service.py: which identities
+    appear in MULTIPLE device extractions — the investigator's
+    'who connects these phones' question). Runs over the PARSED XML with
+    source attribution: a person counts toward a dump when they speak in
+    it (JID role) or are named as a payment/call counterparty in one of
+    its conversations; output is every identity present in >= 2 dumps
+    with its dump list. All derivation is from the parse output, so the
+    file-attribution path itself is oracle-checked. Shape: map-side
+    dedup of (key, dump) -> one hash agg -> filter; O(entities) output."""
+    from owl_n4j_spark.sources.events_transcripts import persons_df
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
+
+    tr = read_ufed_xml(spark, ensure_ufed_xml(spark, sf_dir),
+                       with_source=True)
+    dump = (F.regexp_extract("src_file", r"dump_(\d+)", 1)
+            .cast("int").alias("dump"))
+    uidx = F.expr("CAST(substring(conv_id, 6) AS BIGINT)")
+    spk = (tr.select(
+        F.concat(F.lit("phone-"),
+                 F.substring_index("role", "@", 1)).alias("key"), dump)
+        .dropDuplicates())
+    oth_convs = (
+        tr.filter(F.col("text").contains(" paid $")
+                  | (F.col("text").contains(" called ")
+                     & F.col("text").contains("yesterday")))
+        .select((uidx + 1).alias("oidx"), dump).dropDuplicates())
+    pmap = persons_df(spark).select(
+        F.col("idx").alias("oidx"),
+        F.concat(F.lit("phone-"),
+                 F.substring_index("jid", "@", 1)).alias("key"))
+    oth = oth_convs.join(F.broadcast(pmap), "oidx").select("key", "dump")
+    pd_ = spk.unionByName(oth).dropDuplicates(["key", "dump"])
+    return (
+        pd_.groupBy("key")
+        .agg(F.count("*").alias("n_dumps"),
+             F.concat_ws(",", F.sort_array(
+                 F.collect_list(F.col("dump").cast("string"))))
+              .alias("dumps"))
+        .filter(F.col("n_dumps") >= 2)
+        .orderBy("key")
+    )
+
+
+SQL_Q_EXTRACTION_INTERSECTION = f"""
+WITH {_BASE_CTE},
+pd AS (
+  SELECT {et._phone_key_sql('idx')} AS key, CAST(idx % 8 AS INT) AS dump
+  FROM (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx FROM t)
+  UNION
+  SELECT {et._phone_key_sql('idx + 1')}, CAST(idx % 8 AS INT)
+  FROM (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx
+        FROM t WHERE event_type IN ('purchase', 'view'))
+)
+SELECT key, COUNT(*) AS n_dumps,
+       string_agg(CAST(dump AS VARCHAR), ',' ORDER BY dump) AS dumps
+FROM pd GROUP BY key
+HAVING COUNT(*) >= 2
+ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
 # U4 — merge-audit surface: every canonicalization decision with its method
 # ---------------------------------------------------------------------------
 
@@ -1585,6 +1653,8 @@ KG_ANALYTICS_REGISTRY = {
     "kg_fuzzy_resolve": (kg_fuzzy_resolve, SQL_KG_FUZZY_RESOLVE),
     "kg_nl_route": (kg_nl_route, SQL_KG_NL_ROUTE),
     "q_case_scan": (q_case_scan, SQL_Q_CASE_SCAN),
+    "q_extraction_intersection": (q_extraction_intersection,
+                                  SQL_Q_EXTRACTION_INTERSECTION),
     "kg_mentioned_in": (kg_mentioned_in, SQL_KG_MENTIONED_IN),
     "kg_payment_facts": (kg_payment_facts, SQL_KG_PAYMENT_FACTS),
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),

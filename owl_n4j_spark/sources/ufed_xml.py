@@ -36,6 +36,7 @@ XML, so the parser's expected output is relationally derivable and
 from __future__ import annotations
 
 import os
+import re
 from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,7 +161,13 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                 if cur_h is not None:
                     cur_h.write('    </multiModelField>\n   </model>\n')
                 cur_conv = row.conv_id
-                cur_h = handles[crc32(cur_conv.encode()) % n_files]
+                # conversation -> dump assignment must be relationally
+                # derivable (the extraction-intersection oracle recomputes
+                # it): numeric conv ids split by modulus, anything else by
+                # crc32 fallback
+                m = re.fullmatch(r"conv-(\d+)", cur_conv)
+                fno = (int(m.group(1)) if m else crc32(cur_conv.encode()))
+                cur_h = handles[fno % n_files]
                 cur_h.write(
                     f'   <model type="Chat" id="{escape(cur_conv)}" '
                     'deleted_state="Intact">\n'
@@ -294,12 +301,16 @@ def _salvage_batches(gen, path: str):
             return
 
 
-def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
+def read_ufed_xml(spark: SparkSession, xml_dir: str,
+                  with_source: bool = False) -> DataFrame:
     """UFED XML directory -> transcripts DataFrame (the S1 operator).
 
     One task per file via binaryFile; the per-file parse streams batches
     through Arrow. Column pruning note: only (path, content) are read, and
-    binaryFile pushes the path filter down."""
+    binaryFile pushes the path filter down.
+
+    ``with_source=True`` appends a ``src_file`` column (dump basename) —
+    the extraction-attribution the cross-extraction intersection needs."""
     import pandas as pd
 
     # directory + pathGlobFilter, never a multi-file glob: globs past 32
@@ -321,13 +332,17 @@ def read_ufed_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
                                        "text", "tool", "ts"])
                     out["ts"] = pd.to_datetime(out["ts"], format="ISO8601")
                     out["turn_idx"] = out["turn_idx"].astype("int32")
+                    if with_source:
+                        out["src_file"] = os.path.basename(path)
                     yield out
 
+    schema = (TRANSCRIPT_SCHEMA + ", src_file string" if with_source
+              else TRANSCRIPT_SCHEMA)
     # natural binaryFile partitioning: dumps are not splittable, so at real
     # scale each multi-GB file is its own task; small test files pack
     # together via the open-cost heuristic. (An earlier repartition("path")
     # here shuffled every content byte for zero benefit at dump scale.)
-    return files.mapInPandas(parse, TRANSCRIPT_SCHEMA)
+    return files.mapInPandas(parse, schema)
 
 
 ATTACHMENT_SCHEMA = ("conv_id string, turn_idx int, filename string, "
