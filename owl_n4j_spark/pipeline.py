@@ -109,6 +109,17 @@ def run_pipeline(
     new_rejections = rejected_pairs is not None
     if warehouse is not None:
         rp_path = os.path.join(warehouse, "rejected_pairs")
+        # Crash recovery: the commit below is two writes (merged set to
+        # __new, then overwrite the store). A death between them leaves the
+        # store uncommitted while __new — which holds the FULL merged set —
+        # is committed; without recovery the next no-pairs run would see an
+        # uncommitted store and silently run with zero rejections. Restoring
+        # from __new is idempotent, so a crash during recovery itself is
+        # covered by the same check on the run after.
+        if not stage_is_committed(rp_path) and stage_is_committed(
+                rp_path + "__new"):
+            (spark.read.parquet(rp_path + "__new")
+             .write.mode("overwrite").parquet(rp_path))
         if rejected_pairs is not None:
             prior = (spark.read.parquet(rp_path)
                      if stage_is_committed(rp_path) else None)
@@ -139,7 +150,7 @@ def run_pipeline(
     if new_rejections:
         resume = False
 
-    def staged(name: str, df_fn) -> DataFrame:
+    def staged(name: str, df_fn, required_cols=()) -> DataFrame:
         """Compute-or-resume one stage through the warehouse.
 
         Without a warehouse the stage output is localCheckpoint-ed: this both
@@ -154,7 +165,15 @@ def run_pipeline(
             return df_fn().localCheckpoint(eager=True)
         path = os.path.join(warehouse, name)
         if resume and stage_is_committed(path):
-            return spark.read.parquet(path)
+            prior = spark.read.parquet(path)
+            # Schema-evolution guard: a warehouse committed by an older
+            # engine version may lack columns this version projects (e.g.
+            # t03_mapping before link_key existed). Such a stage is
+            # resume-INVALID — recompute and rewrite rather than failing
+            # the run with an AnalysisException on the missing column.
+            if not required_cols or all(c in prior.columns
+                                        for c in required_cols):
+                return prior
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -199,7 +218,8 @@ def run_pipeline(
         # ---- stage 5: canonicalize (CC over the same-as graph) ----------
         return canonical_mapping(link_map, sameas_raw)
 
-    final_mapping = staged("t03_mapping", _mapping)
+    final_mapping = staged("t03_mapping", _mapping,
+                           required_cols=("link_key",))
 
     # ---- remap to canonical keys ----------------------------------------
     mentions = staged(

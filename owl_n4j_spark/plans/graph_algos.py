@@ -226,6 +226,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit((1.0 - PR_DAMPING) / n_v)
              + F.lit(PR_DAMPING) * F.col("in_r")).alias("r"),
         ).localCheckpoint(eager=False)
+    # Materialize the final ranks (checkpoint leaf severs them from the
+    # cached tables), then release both cached edge copies — a long-lived
+    # session invoking this repeatedly must not accumulate O(E) cache
+    # entries per call.
+    ranks = ranks.localCheckpoint(eager=True)
+    out.unpersist()
+    sym.unpersist()
     return (
         ranks.select(F.col("v").alias("user_id"),
                      F.round("r", 6).alias("pagerank"))

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.sources import events_transcripts as et
 from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
+from owl_n4j_spark.sources.ufed_xml import UFED_N_FILES
 
 _KG_CACHE: dict[tuple, dict] = {}
 
@@ -551,17 +552,18 @@ def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("kind"))
 
 
-# 8 = write_ufed_xml's dump-file split; 1 = its case_notes.txt decoy
+# UFED_N_FILES = write_ufed_xml's dump-file split (shared constant, so the
+# oracle cannot drift from the writer); 1 = its case_notes.txt decoy
 # (Spark's file index hides '_'-prefixed files, so _SUCCESS markers are
 # invisible to the scan by design.)
-SQL_Q_CASE_SCAN = """
+SQL_Q_CASE_SCAN = f"""
 SELECT kind, n_files FROM (
   SELECT 'html_doc' AS kind, CAST(COUNT(*) AS BIGINT) AS n_files
   FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT 'md_doc', CAST(COUNT(*) AS BIGINT)
   FROM documents WHERE doc_id % 2 = 1
-  UNION ALL SELECT 'ufed_report', CAST(8 AS BIGINT)
+  UNION ALL SELECT 'ufed_report', CAST({UFED_N_FILES} AS BIGINT)
   UNION ALL SELECT 'other', CAST(1 AS BIGINT)
 ) ORDER BY kind
 """
@@ -620,10 +622,11 @@ def q_extraction_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q_EXTRACTION_INTERSECTION = f"""
 WITH {_BASE_CTE},
 pd AS (
-  SELECT {et._phone_key_sql('idx')} AS key, CAST(idx % 8 AS INT) AS dump
+  SELECT {et._phone_key_sql('idx')} AS key,
+         CAST(idx % {UFED_N_FILES} AS INT) AS dump
   FROM (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx FROM t)
   UNION
-  SELECT {et._phone_key_sql('idx + 1')}, CAST(idx % 8 AS INT)
+  SELECT {et._phone_key_sql('idx + 1')}, CAST(idx % {UFED_N_FILES} AS INT)
   FROM (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS idx
         FROM t WHERE event_type IN ('purchase', 'view'))
 )
@@ -1489,10 +1492,11 @@ SQL_KG_RAG_ANSWER = f"""
 SELECT '{RAG_TERM}' AS query,
        COUNT(*) AS n_hits,
        printf('Query "%s": %d results. Evidence: %s', '{RAG_TERM}', COUNT(*),
-              string_agg(printf('doc %d (rank %d, %d term hits)',
-                                doc_id, rank, text_score),
-                         '; ' ORDER BY rank)) AS answer,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank) AS cited_docs
+              coalesce(string_agg(printf('doc %d (rank %d, %d term hits)',
+                                         doc_id, rank, text_score),
+                                  '; ' ORDER BY rank), '')) AS answer,
+       coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank), '')
+         AS cited_docs
 FROM ({SQL_KG_RAG_RETRIEVE}) hits
 """
 

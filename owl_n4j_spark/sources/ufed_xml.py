@@ -43,6 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 XML_NS = "urn:ufed-models"
 _BATCH_ROWS = 5000
+# Dump-file split: conversations hash across this many dump files, plus one
+# non-report decoy. Shared by write_ufed_xml AND the DuckDB oracle strings
+# that recompute the conv->dump attribution (SQL_Q_CASE_SCAN /
+# SQL_Q_EXTRACTION_INTERSECTION interpolate it) so the split cannot drift.
+UFED_N_FILES = 8
 TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
                      "text string, tool string, ts timestamp")
 
@@ -125,7 +130,7 @@ def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
-                   n_files: int = 8) -> str:
+                   n_files: int = UFED_N_FILES) -> str:
     """Render the events-derived transcripts as UFED-shaped XML dumps.
 
     Conversations are split across ``n_files`` by a deterministic hash so
