@@ -516,6 +516,148 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 
 
 # ---------------------------------------------------------------------------
+# K5 proper — per-model-type XML reconciliation (ok/nested/skipped/under/
+# not_supported), the reference's loudest operational lesson
+# ---------------------------------------------------------------------------
+
+
+def q_xml_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model-type ingest reconciliation (SURVEY K5 — the reference
+    compares XML modelType counts against persisted writer stats and
+    classifies each type, ingestion/scripts/cellebrite/ingestion.py:82-131;
+    its audit shows both failure classes this catches: whole types with no
+    writer silently dropped (~45k events) and writers dropping a SUBSET
+    because a required field is missing (SearchedItem 37/71) —
+    CELLEBRITE_INGEST_AUDIT.md:10-40).
+
+    Spark-first: ONE streamed parse emits every <model> element as a row
+    (the xml-count side); the per-type writer legs are required-field
+    predicates over the same rows (Contact needs Phone, Call/Location need
+    TimeStamp); the Chat/InstantMessage persisted counts come from the REAL
+    transcripts writer path (read_ufed_xml). Status classification is a
+    pure CASE expression — the whole reconciliation is two map-side
+    aggregations over O(models) rows, output O(types)."""
+    from owl_n4j_spark.sources.ufed_xml import (
+        UFED_HELPER, UFED_NESTED, UFED_ONE_TO_ONE, UFED_SKIPPED,
+        read_ufed_models, read_ufed_xml)
+
+    xml_dir = ensure_ufed_xml(spark, sf_dir)
+    models = read_ufed_models(spark, xml_dir)
+
+    # Writer legs for top-level non-chat types: a model persists iff its
+    # handler's required fields are present (the reference's per-type
+    # handlers raise/skip on missing required fields). Unknown and skipped
+    # types have no handler — nothing persists.
+    persist_ok = (
+        F.when(F.col("model_type") == "Contact", F.col("phone").isNotNull())
+        .when(F.col("model_type").isin("Call", "Location"),
+              F.col("ts").isNotNull())
+        .otherwise(F.lit(False)))
+    per_type = models.groupBy("model_type").agg(
+        F.count("*").alias("xml_count"),
+        F.sum(persist_ok.cast("long")).alias("writer_out"))
+
+    # Chat/InstantMessage persist through the real transcripts path: every
+    # parsed chat becomes a conversation, every message a turn.
+    tr = read_ufed_xml(spark, xml_dir)
+    chat_p = (tr.agg(F.countDistinct("conv_id").alias("Chat"),
+                     F.count("*").alias("InstantMessage"))
+              .selectExpr("stack(2, 'Chat', Chat, "
+                          "'InstantMessage', InstantMessage) "
+                          "AS (model_type, chat_out)"))
+
+    status = (
+        F.when(F.col("model_type").isin(*UFED_NESTED), F.lit("nested"))
+        .when(F.col("model_type").isin(*UFED_ONE_TO_ONE),
+              F.when(F.col("persisted_count") >= F.col("xml_count"),
+                     F.lit("ok")).otherwise(F.lit("under")))
+        .when(F.col("model_type").isin(*UFED_HELPER), F.lit("ok"))
+        .when(F.col("model_type").isin(*UFED_SKIPPED), F.lit("skipped"))
+        .otherwise(F.lit("not_supported")))
+    return (
+        per_type.join(F.broadcast(chat_p), "model_type", "left")
+        .withColumn("persisted_count",
+                    F.coalesce("chat_out", "writer_out"))
+        .select("model_type", "xml_count", "persisted_count",
+                status.alias("status"))
+        .orderBy("model_type")
+    )
+
+
+SQL_Q_XML_RECONCILE = f"""
+WITH {_BASE_CTE},
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_turn,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conv,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err,
+         CAST(SUM(CASE WHEN event_type IN ('purchase', 'click')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_att
+  FROM t),
+u AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN uid % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_phone
+  FROM (SELECT DISTINCT CAST(substring(conv_id, 6) AS BIGINT) AS uid FROM t))
+SELECT model_type, xml_count, persisted_count, status FROM (
+  SELECT 'Attachment' AS model_type, n_att AS xml_count,
+         CAST(0 AS BIGINT) AS persisted_count, 'ok' AS status FROM c
+  UNION ALL SELECT 'CalendarEntry', n_err, CAST(0 AS BIGINT), 'skipped' FROM c
+  UNION ALL SELECT 'Call', n_view, n_view, 'ok' FROM c
+  UNION ALL SELECT 'Chat', n_conv, n_conv, 'ok' FROM c
+  UNION ALL SELECT 'Contact', n_users, n_phone,
+         CASE WHEN n_phone >= n_users THEN 'ok' ELSE 'under' END FROM u
+  UNION ALL SELECT 'Cookie', n_signup, CAST(0 AS BIGINT),
+         'not_supported' FROM c
+  UNION ALL SELECT 'InstantMessage', n_turn, n_turn, 'nested' FROM c
+  UNION ALL SELECT 'Location', n_click, n_click, 'ok' FROM c
+) WHERE xml_count > 0 ORDER BY model_type
+"""
+
+
+def xml_reconcile_report(spark: SparkSession, sf_dir: str):
+    """Reconciliation rows + the reference's LOUD operational warnings
+    (ingestion.py:668-706's unknown-type and under-count guards): a model
+    type present in a dump with no handler, or a 1:1 writer that persisted
+    fewer rows than the XML carried, is surfaced on stderr with offenders
+    listed largest-loss-first — a coverage regression, never a detail
+    buried in a report file. Returns (rows, warnings)."""
+    import sys
+
+    rows = q_xml_reconcile(spark, sf_dir).collect()   # O(model types)
+    warnings = []
+    unsupported = sorted(
+        ((r.model_type, r.xml_count) for r in rows
+         if r.status == "not_supported"), key=lambda x: -x[1])
+    if unsupported:
+        total = sum(c for _, c in unsupported)
+        warnings.append(
+            f"WARNING: UNKNOWN MODEL TYPES dropped (no handler) — "
+            f"{len(unsupported)} types, {total:,} instances: "
+            + ", ".join(f"{t}({c})" for t, c in unsupported[:15])
+            + " — add a handler or mark skipped.")
+    under = sorted(
+        ((r.model_type, r.xml_count, r.persisted_count) for r in rows
+         if r.status == "under"), key=lambda x: x[2] - x[1])
+    if under:
+        total = sum(x - p for _, x, p in under)
+        warnings.append(
+            f"WARNING: UNDER-COUNTED MODEL TYPES (writer dropped a subset) "
+            f"— {len(under)} types, {total:,} instances lost: "
+            + ", ".join(f"{t}({p}/{x})" for t, x, p in under[:15])
+            + " — a writer is dropping records; check its handler.")
+    for w in warnings:
+        print(w, file=sys.stderr)
+    return rows, warnings
+
+
+# ---------------------------------------------------------------------------
 # S2 — case-folder source detection: classify every evidence file by magic
 # ---------------------------------------------------------------------------
 
@@ -1650,6 +1792,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_rag_answer": (kg_rag_answer, SQL_KG_RAG_ANSWER),
     "kg_merge_audit": (kg_merge_audit, SQL_KG_MERGE_AUDIT),
     "q_xml_ingest": (q_xml_ingest, SQL_Q_XML_INGEST),
+    "q_xml_reconcile": (q_xml_reconcile, SQL_Q_XML_RECONCILE),
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),

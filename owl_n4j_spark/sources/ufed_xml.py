@@ -48,6 +48,27 @@ _BATCH_ROWS = 5000
 # that recompute the conv->dump attribution (SQL_Q_CASE_SCAN /
 # SQL_Q_EXTRACTION_INTERSECTION interpolate it) so the split cannot drift.
 UFED_N_FILES = 8
+
+# Per-model-type reconciliation contract (SURVEY K5 proper — the reference
+# classifies every XML model type ok / nested / skipped / under /
+# not_supported and warns LOUDLY on unknown types and writer under-counts;
+# ingestion/scripts/cellebrite/ingestion.py:82-131,668-706. Its audit shows
+# why: ~45k app/movement events silently dropped for weeks because a type
+# was in neither SUPPORTED nor SKIPPED, and SearchedItem persisted 37/71
+# because the writer required a field a subset lacks —
+# CELLEBRITE_INGEST_AUDIT.md:10-40).
+#
+# 1:1 types: one persisted row expected per XML model; persisted < xml
+# means a writer is dropping records ("under" — a bug, never silent).
+UFED_ONE_TO_ONE = {"Chat", "Call", "Contact", "Location"}
+# nested: persisted via a parent model's parse — count expected to differ.
+UFED_NESTED = {"InstantMessage"}
+# helper models consumed inline by a parent handler (no own writer row).
+UFED_HELPER = {"Attachment", "Party"}
+# deliberately not ingested (reference SKIPPED_MODEL_TYPES analog).
+UFED_SKIPPED = {"CalendarEntry"}
+# anything else seen in a dump is "not_supported": no writer exists and the
+# ingest must say so loudly instead of silently dropping the instances.
 TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
                      "text string, tool string, ts timestamp")
 
@@ -129,6 +150,81 @@ def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def _field(name: str, value, ftype: str = "String") -> str:
+    return (f'    <field name="{name}" type="{ftype}">'
+            f'<value>{escape(str(value))}</value></field>\n')
+
+
+def _extra_model_sections(spark: SparkSession, sf_dir: str,
+                          n_files: int) -> dict:
+    """dump index -> XML for the NON-Chat top-level modelType sections.
+
+    A real UFED dump carries dozens of model types beyond chats
+    (CELLEBRITE_INGEST_AUDIT.md's per-phone tables); the fixture mirrors the
+    reconciliation-relevant classes, each relationally derivable from the
+    driver tables so q_xml_reconcile has an exact oracle:
+
+      Call          one per 'view' event            -> 1:1 writer, ok
+      Location      one per 'click' event           -> 1:1 writer, ok
+      Contact       one per distinct user; the Phone field is OMITTED when
+                    user_id % 7 == 3, and the Contact writer requires it ->
+                    persisted < xml, the "under" regression class (the
+                    reference's SearchedItem 37/71 lesson)
+      Cookie        one per 'signup' event, NO writer -> not_supported (the
+                    reference's silently-dropped-45k-events lesson)
+      CalendarEntry one per 'error' event, deliberately skipped
+    """
+    from owl_n4j_spark.sources.events_transcripts import persons_df
+    from owl_n4j_spark.synth import CITIES
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type").toPandas())
+    pers = persons_df(spark).toPandas().set_index("idx")
+    sections: dict[int, dict[str, list[str]]] = {
+        i: {} for i in range(n_files)}
+
+    def add(dump: int, mtype: str, mid: str, fields: str):
+        sections[dump].setdefault(mtype, []).append(
+            f'   <model type="{mtype}" id="{mid}">\n{fields}   </model>\n')
+
+    for r in ev.itertuples(index=False):
+        dump = int(r.user_id) % n_files
+        iso = r.ts.isoformat()
+        if r.event_type == "view":
+            add(dump, "Call", f"call-{r.event_id}",
+                _field("TimeStamp", iso, "TimeStamp")
+                + _field("Direction", "Outgoing"))
+        elif r.event_type == "click":
+            city = CITIES[int(r.event_id) % len(CITIES)]
+            add(dump, "Location", f"loc-{r.event_id}",
+                _field("TimeStamp", iso, "TimeStamp")
+                + _field("Name", city))
+        elif r.event_type == "signup":
+            add(dump, "Cookie", f"ck-{r.event_id}",
+                _field("Domain", "example.test")
+                + _field("LastAccessTime", iso, "TimeStamp"))
+        elif r.event_type == "error":
+            add(dump, "CalendarEntry", f"cal-{r.event_id}",
+                _field("TimeStamp", iso, "TimeStamp")
+                + _field("Subject", "sync"))
+    for uid in sorted(int(u) for u in ev["user_id"].unique()):
+        row = pers.loc[uid]
+        fields = _field("Name", row.full_name)
+        if uid % 7 != 3:
+            fields += _field("Phone", row.jid.split("@")[0])
+        add(uid % n_files, "Contact", f"ct-{uid}", fields)
+
+    out = {}
+    for i, types in sections.items():
+        parts = []
+        for mtype in sorted(types):
+            parts.append(f'  <modelType type="{mtype}">\n')
+            parts.extend(types[mtype])
+            parts.append('  </modelType>\n')
+        out[i] = "".join(parts)
+    return out
+
+
 def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                    n_files: int = UFED_N_FILES) -> str:
     """Render the events-derived transcripts as UFED-shaped XML dumps.
@@ -145,6 +241,7 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
            .toPandas()
            .sort_values(["conv_id", "turn_idx"]))
     att = _attachment_xml(spark, sf_dir)
+    extra = _extra_model_sections(spark, sf_dir, n_files)
     os.makedirs(out_dir, exist_ok=True)
     # a non-report decoy the case scan must classify as 'other'
     with open(os.path.join(out_dir, "case_notes.txt"), "w",
@@ -202,9 +299,12 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                 '     </model>\n')
         if cur_h is not None:
             cur_h.write('    </multiModelField>\n   </model>\n')
+        for i, h in handles.items():
+            h.write('  </modelType>\n')          # close the Chat section
+            h.write(extra.get(i, ""))            # non-chat model sections
+            h.write(' </decodedData>\n</project>\n')
     finally:
         for h in handles.values():
-            h.write('  </modelType>\n </decodedData>\n</project>\n')
             h.close()
     return out_dir
 
@@ -217,6 +317,13 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
     ``emit='attachments'`` -> (conv_id, turn_idx, filename, mime, size,
                                exif_dt, gps_lat, gps_lat_ref, gps_lon,
                                gps_lon_ref)
+    ``emit='models'`` -> (model_type, model_id, ts, name, phone): EVERY
+        <model> element at any depth, one row each — the xml-count side of
+        the per-type reconciliation (the reference's
+        parser.xml_counts_by_type). Fields are captured only for top-level
+        non-Chat models (the per-type writers' inputs); Chat/InstantMessage/
+        Attachment rows carry null fields (their content is the turns /
+        attachments emitters' job).
 
     Depth-tracked iterparse (parser.py:658-757): nested <model> elements
     (Party inside InstantMessage inside Chat; Attachment at depth 3) are
@@ -268,17 +375,31 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
                         f.get("DateTimeOriginal"), f.get("GPSLatitude"),
                         f.get("GPSLatitudeRef"), f.get("GPSLongitude"),
                         f.get("GPSLongitudeRef")))
+                elif emit == "models":
+                    rows.append((mtype, elem.get("id"), None, None, None))
                 elem.clear()    # message extraction must not see these
             elif depth == 2 and mtype == "InstantMessage" and chat_id:
                 if emit == "turns":
                     f = fields_of(elem)
                     rows.append((chat_id, turn_idx, f.get("Identifier"),
                                  f.get("Body"), tool, f.get("TimeStamp")))
+                elif emit == "models":
+                    rows.append((mtype, elem.get("id"), None, None, None))
                 turn_idx += 1
                 elem.clear()    # bound memory: message subtree is consumed
             elif depth == 1:
-                if chat_elem is not None:
-                    chat_elem.clear()
+                if emit == "models":
+                    if mtype == "Chat":
+                        rows.append((mtype, elem.get("id"),
+                                     None, None, None))
+                    else:
+                        f = fields_of(elem)
+                        rows.append((mtype, elem.get("id"),
+                                     f.get("TimeStamp"), f.get("Name"),
+                                     f.get("Phone")))
+                # every top-level model is consumed here — clear it so a
+                # dump with millions of non-chat models stays O(batch)
+                elem.clear()
                 chat_id, chat_elem = None, None
             depth -= 1
             if len(rows) >= batch_rows:
@@ -386,3 +507,38 @@ def read_ufed_attachments(spark: SparkSession, xml_dir: str) -> DataFrame:
                     yield out
 
     return files.mapInPandas(parse, ATTACHMENT_SCHEMA)
+
+
+MODEL_SCHEMA = ("src_file string, model_type string, model_id string, "
+                "ts string, name string, phone string")
+
+
+def read_ufed_models(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """UFED XML directory -> one row per <model> element of ANY type
+    (K5 proper — the xml-count side of the reference's per-type
+    reconciliation, parser.xml_counts_by_type in
+    ingestion/scripts/cellebrite/ingestion.py:668-706, plus the generic
+    field capture its per-type writers consume). Same streamed one-task-
+    per-file parse as read_ufed_xml; rows for nested Chat content carry
+    null fields — only top-level non-Chat models are writer inputs here."""
+    import pandas as pd
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.xml")
+             .load(xml_dir)
+             .select("path", "content"))
+
+    cols = ["model_type", "model_id", "ts", "name", "phone"]
+
+    def parse(batches):
+        from io import BytesIO
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                gen = _parse_ufed_stream(BytesIO(bytes(content)),
+                                         emit="models")
+                for rows in _salvage_batches(gen, path):
+                    out = pd.DataFrame(rows, columns=cols)
+                    out.insert(0, "src_file", os.path.basename(path))
+                    yield out
+
+    return files.mapInPandas(parse, MODEL_SCHEMA)
