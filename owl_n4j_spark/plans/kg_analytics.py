@@ -682,11 +682,21 @@ def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              .load([xml_dir, doc_dir])
              .select("content"))
     head = F.substring(F.col("content"), 1, 64).cast("string")
+    # OOXML containers are zips; the FIRST entry's name sits at the fixed
+    # local-file-header offset 31, so a binary substring decoded alone (no
+    # preceding invalid-UTF8 bytes can swallow it) is a deterministic
+    # content-magic — extension-agnostic like every other sniff here.
+    zip_entry = F.substring(F.col("content"), 31, 17).cast("string")
     kind = (
         F.when(head.startswith("<?xml") & head.contains("<project"),
                F.lit("ufed_report"))
         .when(head.startswith("<!DOCTYPE html"), F.lit("html_doc"))
         .when(head.startswith("---\n"), F.lit("md_doc"))
+        .when(head.startswith("PK")
+              & (zip_entry == "word/document.xml"), F.lit("docx_doc"))
+        .when(head.startswith("PK")
+              & zip_entry.startswith("xl/workbook.xml"), F.lit("xlsx_doc"))
+        .when(head.startswith("%PDF"), F.lit("pdf_doc"))
         .otherwise(F.lit("other"))
     )
     return (files.select(kind.alias("kind"))
@@ -701,12 +711,20 @@ def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q_CASE_SCAN = f"""
 SELECT kind, n_files FROM (
   SELECT 'html_doc' AS kind, CAST(COUNT(*) AS BIGINT) AS n_files
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 4 = 0
   UNION ALL
   SELECT 'md_doc', CAST(COUNT(*) AS BIGINT)
-  FROM documents WHERE doc_id % 2 = 1
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT 'docx_doc', CAST(COUNT(*) AS BIGINT)
+  FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT 'xlsx_doc', CAST(COUNT(*) AS BIGINT)
+  FROM documents WHERE doc_id % 4 = 3
   UNION ALL SELECT 'ufed_report', CAST({UFED_N_FILES} AS BIGINT)
-  UNION ALL SELECT 'other', CAST(1 AS BIGINT)
+  UNION ALL SELECT 'pdf_doc', CAST(1 AS BIGINT)
+  -- case_notes.txt (xml dir) + notes.xyz (doc dir)
+  UNION ALL SELECT 'other', CAST(2 AS BIGINT)
 ) ORDER BY kind
 """
 

@@ -1736,6 +1736,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format ingest reconciliation for the document path (K5 applied
+    to S4 — r3 verdict item 9): every file the scan saw becomes a manifest
+    row; stub formats (pdf) and unknown extensions are QUARANTINED counts,
+    not raised errors, so dispatch gaps surface as data the way the XML
+    reconciliation surfaces model-type gaps. One map stage + one
+    O(formats) aggregation."""
+    from owl_n4j_spark.sources.doc_formats import read_documents_dir
+
+    df = read_documents_dir(spark, ensure_doc_files(spark, sf_dir),
+                            with_status=True)
+    return (df.groupBy("fmt").agg(
+        F.count("*").alias("n_files"),
+        F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        F.sum((F.col("status") != "ok").cast("long"))
+         .alias("n_quarantined"))
+        .orderBy("fmt"))
+
+
+# decoys written by write_doc_files: one stub-format .pdf + one unknown .xyz
+SQL_DOC_INGEST_MANIFEST = """
+SELECT fmt, n_files, n_ok, n_quarantined FROM (
+  SELECT 'html' AS fmt, CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(COUNT(*) AS BIGINT) AS n_ok, CAST(0 AS BIGINT) AS n_quarantined
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 'md', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT 'docx', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT 'xlsx', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT 'pdf', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT 'xyz', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+) ORDER BY fmt
+"""
+
+
 TEXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "q_doc_summary": (q_doc_summary, SQL_DOC_SUMMARY),
@@ -1766,4 +1808,6 @@ TEXT_REGISTRY = {
     "q_neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "q_doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "q_doc_ingest_formats": (q_doc_ingest_formats, SQL_DOC_INGEST_FORMATS),
+    "q_doc_ingest_manifest": (q_doc_ingest_manifest,
+                              SQL_DOC_INGEST_MANIFEST),
 }

@@ -1,7 +1,7 @@
 """Document-format ingestion (SURVEY S4 proper).
 
-The reference routes pdf/docx/html/md/... through per-format handlers that
-converge on one document shape (/root/reference/ingestion/scripts/
+The reference routes pdf/docx/xlsx/html/md/... through per-format handlers
+that converge on one document shape (/root/reference/ingestion/scripts/
 ingest_data.py:23-30 dispatch). Spark-first analog:
 
 - ``binaryFile`` source: one task per file batch, no shuffle — ingestion is
@@ -10,39 +10,114 @@ ingest_data.py:23-30 dispatch). Spark-first analog:
 - Per-format extractors run inside ONE Arrow ``mapInPandas`` stage that
   dispatches on extension per row — adding a format is adding a function to
   the dispatch table, not a new pipeline.
-- html/md extract with deterministic stdlib parsing (main-content rule:
-  <p> blocks only — nav/header/footer boilerplate is dropped, the
-  simplified trafilatura contract); pdf/docx are STUBS with the same
-  signature (the decode libraries are not in this container) that raise
-  NotImplementedError per file, wired through the identical dispatch so
-  the Spark-side plumbing is real and tested.
+- html/md/docx/xlsx extract with deterministic stdlib parsing: html strips
+  boilerplate via the <p>-blocks main-content rule, docx reads
+  word/document.xml runs (Title-styled paragraphs dropped — the docx analog
+  of html's <h1>) + docProps/core.xml metadata, xlsx reads sheet1's
+  inline-string cells — both are zip + ElementTree, no external libs.
+  pdf stays a STUB with the same signature (its decode library is not in
+  this container) that raises NotImplementedError per file; the dispatch
+  QUARANTINES such files (counted per-format in the ingest manifest) —
+  mirroring the reference's skip-and-log rather than fail-the-ingest.
 
-The generator renders the driver ``documents`` table to .html/.md files,
-so extraction has an exact oracle: parse(generate(docs)) must equal the
-documents table itself.
+The generator renders the driver ``documents`` table to one file per doc
+(format by doc_id % 4: html/md/docx/xlsx), so extraction has an exact
+oracle: parse(generate(docs)) must equal the documents table itself.
 """
 
 from __future__ import annotations
 
+import io
 import os
 import re
+import zipfile
 from html import escape
 from html.parser import HTMLParser
+from xml.sax.saxutils import escape as xml_escape
 
 from pyspark.sql import DataFrame, SparkSession
 
 DOC_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
               "n_chars bigint")
 
+_W_NS = ("http://schemas.openxmlformats.org/wordprocessingml/2006/main")
+_S_NS = ("http://schemas.openxmlformats.org/spreadsheetml/2006/main")
+_CP_NS = ("http://schemas.openxmlformats.org/package/2006/metadata/"
+          "core-properties")
+_DC_NS = "http://purl.org/dc/elements/1.1/"
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+    '</Types>\n')
+
+
+def _zip_bytes(entries: list[tuple[str, str]]) -> bytes:
+    """Deterministic OOXML container: pinned 1980 timestamps, stored order
+    = given order (the FIRST entry's name is the content-magic a scanner
+    can sniff at a fixed header offset)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in entries:
+            z.writestr(zipfile.ZipInfo(name), data)
+    return buf.getvalue()
+
+
+def _render_docx(row) -> bytes:
+    body = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<w:document xmlns:w="{_W_NS}"><w:body>'
+        # Title-styled heading = boilerplate the extractor must drop
+        '<w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr>'
+        f'<w:r><w:t>Document {row.doc_id}</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t xml:space="preserve">'
+        f'{xml_escape(row.text)}</w:t></w:r></w:p>'
+        '<w:sectPr/></w:body></w:document>')
+    core = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<cp:coreProperties xmlns:cp="{_CP_NS}" xmlns:dc="{_DC_NS}">'
+        f'<dc:language>{xml_escape(row.lang)}</dc:language>'
+        f'<dc:subject>{xml_escape(row.source)}</dc:subject>'
+        '</cp:coreProperties>')
+    return _zip_bytes([("word/document.xml", body),
+                       ("docProps/core.xml", core),
+                       ("[Content_Types].xml", _CONTENT_TYPES)])
+
+
+def _render_xlsx(row) -> bytes:
+    def cell(ref, text):
+        return (f'<c r="{ref}" t="inlineStr"><is>'
+                f'<t xml:space="preserve">{xml_escape(text)}</t></is></c>')
+
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<workbook xmlns="{_S_NS}"><sheets>'
+        '<sheet name="doc" sheetId="1"/></sheets></workbook>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<worksheet xmlns="{_S_NS}"><sheetData>'
+        f'<row r="1">{cell("A1", "lang")}{cell("B1", row.lang)}</row>'
+        f'<row r="2">{cell("A2", "source")}{cell("B2", row.source)}</row>'
+        f'<row r="3">{cell("A3", "text")}{cell("B3", row.text)}</row>'
+        '</sheetData></worksheet>')
+    return _zip_bytes([("xl/workbook.xml", wb),
+                       ("xl/worksheets/sheet1.xml", sheet),
+                       ("[Content_Types].xml", _CONTENT_TYPES)])
+
 
 def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
-    """documents table -> one .html (even doc_id) or .md (odd doc_id) file
-    per document, with boilerplate the extractor must strip."""
+    """documents table -> one file per document, format by doc_id % 4
+    (0 .html / 1 .md / 2 .docx / 3 .xlsx), each with boilerplate or
+    container structure the extractor must handle. Also drops two decoys
+    the dispatch must route WITHOUT crashing the ingest: a .pdf (stub
+    format -> quarantined) and an unknown extension (-> quarantined)."""
     pdf = (spark.read.parquet(f"{sf_dir}/documents.parquet")
            .toPandas().sort_values("doc_id"))
     os.makedirs(out_dir, exist_ok=True)
     for row in pdf.itertuples(index=False):
-        if row.doc_id % 2 == 0:
+        fmt = row.doc_id % 4
+        if fmt == 0:
             body = (
                 '<!DOCTYPE html>\n'
                 f'<html lang="{row.lang}">\n<head>\n'
@@ -53,9 +128,9 @@ def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
                 f'<h1>Document {row.doc_id}</h1>\n'
                 f'<p>{escape(row.text)}</p>\n'
                 '<footer>generated page footer</footer>\n'
-                '</body>\n</html>\n')
+                '</body>\n</html>\n').encode()
             name = f"doc_{row.doc_id:08d}.html"
-        else:
+        elif fmt == 1:
             body = (
                 '---\n'
                 f'lang: {row.lang}\n'
@@ -63,10 +138,20 @@ def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
                 '---\n'
                 f'# Document {row.doc_id}\n'
                 '\n'
-                f'{row.text}\n')
+                f'{row.text}\n').encode()
             name = f"doc_{row.doc_id:08d}.md"
-        with open(os.path.join(out_dir, name), "w", encoding="utf-8") as f:
+        elif fmt == 2:
+            body = _render_docx(row)
+            name = f"doc_{row.doc_id:08d}.docx"
+        else:
+            body = _render_xlsx(row)
+            name = f"doc_{row.doc_id:08d}.xlsx"
+        with open(os.path.join(out_dir, name), "wb") as f:
             f.write(body)
+    with open(os.path.join(out_dir, "scan_0001.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4\n% decoy scanned report, no text layer\n")
+    with open(os.path.join(out_dir, "notes.xyz"), "wb") as f:
+        f.write(b"unknown-format sidecar\n")
     return out_dir
 
 
@@ -104,17 +189,18 @@ class _MainText(HTMLParser):
             self._buf.append(data)
 
 
-def _extract_html(name: str, raw: str) -> tuple:
+def _extract_html(name: str, raw: bytes) -> tuple:
     p = _MainText()
-    p.feed(raw)
+    p.feed(raw.decode("utf-8"))
     return ("\n".join(p.paras), p.lang, p.source)
 
 
 _MD_FRONT = re.compile(r"\A---\n(.*?)\n---\n", re.S)
 
 
-def _extract_md(name: str, raw: str) -> tuple:
+def _extract_md(name: str, raw: bytes) -> tuple:
     lang = source = None
+    raw = raw.decode("utf-8")
     m = _MD_FRONT.match(raw)
     body = raw
     if m:
@@ -139,6 +225,71 @@ def _extract_md(name: str, raw: str) -> tuple:
     return (text.rstrip("\n"), lang, source)
 
 
+def _extract_docx(name: str, raw: bytes) -> tuple:
+    """docx = zip of WordprocessingML (reference ingest_data.py:23-30
+    routes .docx through python-docx; the stdlib equivalent reads the same
+    two parts). Text = the non-Title paragraphs of word/document.xml, runs
+    concatenated per paragraph, paragraphs joined by newline; lang/source
+    from docProps/core.xml (dc:language / dc:subject)."""
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        doc = ET.fromstring(z.read("word/document.xml"))
+        try:
+            core = ET.fromstring(z.read("docProps/core.xml"))
+        except KeyError:
+            core = None
+    paras = []
+    for p in doc.iter(f"{{{_W_NS}}}p"):
+        style = p.find(f"{{{_W_NS}}}pPr/{{{_W_NS}}}pStyle")
+        if style is not None and style.get(f"{{{_W_NS}}}val") == "Title":
+            continue          # heading boilerplate, like html's <h1>
+        paras.append("".join(t.text or ""
+                             for t in p.iter(f"{{{_W_NS}}}t")))
+    lang = source = None
+    if core is not None:
+        el = core.find(f"{{{_DC_NS}}}language")
+        lang = el.text if el is not None else None
+        el = core.find(f"{{{_DC_NS}}}subject")
+        source = el.text if el is not None else None
+    return ("\n".join(paras), lang, source)
+
+
+def _extract_xlsx(name: str, raw: bytes) -> tuple:
+    """xlsx = zip of SpreadsheetML; the metadata-sheet convention is
+    key/value rows (A=key, B=value) with inline strings. Shared-string
+    tables are resolved when present so real-world workbooks parse too."""
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        shared = []
+        try:
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or ""
+                              for t in si.iter(f"{{{_S_NS}}}t"))
+                      for si in sst.iter(f"{{{_S_NS}}}si")]
+        except KeyError:
+            pass
+
+    def cell_text(c) -> str:
+        if c.get("t") == "inlineStr":
+            return "".join(t.text or "" for t in c.iter(f"{{{_S_NS}}}t"))
+        v = c.find(f"{{{_S_NS}}}v")
+        if v is None:
+            return ""
+        if c.get("t") == "s":
+            return shared[int(v.text)]
+        return v.text or ""
+
+    kv = {}
+    for row in sheet.iter(f"{{{_S_NS}}}row"):
+        cells = list(row.iter(f"{{{_S_NS}}}c"))
+        if len(cells) >= 2:
+            kv[cell_text(cells[0])] = cell_text(cells[1])
+    return (kv.get("text", ""), kv.get("lang"), kv.get("source"))
+
+
 def _extract_stub(kind: str):
     def fn(name: str, raw) -> tuple:
         raise NotImplementedError(
@@ -152,21 +303,29 @@ _DISPATCH = {
     ".html": _extract_html,
     ".htm": _extract_html,
     ".md": _extract_md,
+    ".docx": _extract_docx,
+    ".xlsx": _extract_xlsx,
     ".pdf": _extract_stub("pdf"),
-    ".docx": _extract_stub("docx"),
 }
 
 _DOC_ID = re.compile(r"doc_(\d+)\.")
 
 
 def read_documents_dir(spark: SparkSession, doc_dir: str,
-                       coalesce_to: int | None = 64) -> DataFrame:
+                       coalesce_to: int | None = 64,
+                       with_status: bool = False) -> DataFrame:
     """Directory of per-document files -> documents contract.
 
     binaryFile scan (path+content only), then one Arrow mapInPandas whose
     rows route through the per-extension extractor table. doc_id comes from
     the filename (the ingest key the reference also derives from the file);
     n_chars is recomputed from the extracted text.
+
+    A file whose format has only a stub extractor (pdf) or no extractor at
+    all is QUARANTINED, never a crash: with ``with_status=True`` every file
+    yields a row with (fmt, status ok/quarantined_stub/unknown_format) so
+    the per-format ingest manifest can reconcile files-seen vs
+    docs-extracted — the K5 discipline applied to the document path.
 
     ``coalesce_to``: binaryFile's 4 MB open-cost makes one task per small
     file (a 5000-doc corpus = 5000 tasks of microseconds each); coalesce —
@@ -187,6 +346,10 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
     if coalesce_to is not None:
         files = files.coalesce(coalesce_to)
 
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if with_status:
+        cols = cols + ["fmt", "status"]
+
     def parse(batches):
         for pdf in batches:
             out = []
@@ -194,15 +357,26 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
                 base = os.path.basename(path)
                 ext = os.path.splitext(base)[1].lower()
                 fn = _DISPATCH.get(ext)
-                if fn is None:
-                    continue          # unknown format: skip, never crash
                 m = _DOC_ID.search(base)
                 doc_id = int(m.group(1)) if m else None
-                text, lang, source = fn(
-                    base, bytes(content).decode("utf-8"))
-                out.append((doc_id, text, lang, source,
-                            len(text) if text is not None else None))
-            yield pd.DataFrame(
-                out, columns=["doc_id", "text", "lang", "source", "n_chars"])
+                fmt = ext.lstrip(".") or "none"
+                if fn is None:
+                    if with_status:
+                        out.append((doc_id, None, None, None, None,
+                                    fmt, "unknown_format"))
+                    continue
+                try:
+                    text, lang, source = fn(base, bytes(content))
+                except NotImplementedError:
+                    if with_status:
+                        out.append((doc_id, None, None, None, None,
+                                    fmt, "quarantined_stub"))
+                    continue
+                row = (doc_id, text, lang, source,
+                       len(text) if text is not None else None)
+                out.append(row + ((fmt, "ok") if with_status else ()))
+            yield pd.DataFrame(out, columns=cols)
 
-    return files.mapInPandas(parse, DOC_SCHEMA)
+    schema = (DOC_SCHEMA + ", fmt string, status string" if with_status
+              else DOC_SCHEMA)
+    return files.mapInPandas(parse, schema)

@@ -26,18 +26,26 @@ def test_roundtrip_reconstructs_documents_table(spark, tmp_path):
     assert (got["n_chars"] == want["n_chars"]).all()
 
 
-def test_unknown_extension_skipped_and_stub_raises(spark, tmp_path):
+def test_unsupported_formats_quarantined_not_crashed(spark, tmp_path):
     d = tmp_path / "mix"
     d.mkdir()
     (d / "doc_00000001.md").write_text(
         "---\nlang: en\nsource: s\n---\n# Document 1\n\nbody text\n")
     (d / "notes.txt").write_text("not a supported format")
+    (d / "doc_00000002.pdf").write_bytes(b"%PDF-1.4 fake")
+    # plain path: unsupported files are skipped, never a crash
     rows = read_documents_dir(spark, str(d)).collect()
     assert len(rows) == 1 and rows[0]["text"] == "body text"
-
-    (d / "doc_00000002.pdf").write_bytes(b"%PDF-1.4 fake")
-    with pytest.raises(Exception, match="NotImplementedError|pdf extraction"):
-        read_documents_dir(spark, str(d)).collect()
+    # status path: every file is accounted for — the dispatch gap is DATA
+    st = {(r.fmt, r.status)
+          for r in read_documents_dir(spark, str(d),
+                                      with_status=True).collect()}
+    assert st == {("md", "ok"), ("txt", "unknown_format"),
+                  ("pdf", "quarantined_stub")}
+    # the stub itself still declares the gap explicitly
+    from owl_n4j_spark.sources.doc_formats import _DISPATCH
+    with pytest.raises(NotImplementedError, match="pdf extraction"):
+        _DISPATCH[".pdf"]("x.pdf", b"%PDF")
 
 
 def test_md_body_with_hash_lines_survives(spark, tmp_path):
