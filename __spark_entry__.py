@@ -30,41 +30,49 @@ from owl_n4j_spark.sources import events_transcripts as et
 # The driver's correctness gate evaluates the FIRST 50 queries() entries.
 # The gate is an EXPLICIT list, rotated each round so every headline
 # operator accumulates driver-hash evidence over time (r2 verdict item 8):
-#   r3 priorities — (a) everything NEW or CHANGED this round (rag answer,
-#   merge audit, xml ingest, pair paths, supergraph, doc-format ingest,
-#   the re-planned rag_retrieve/pagerank, the fixed location_tiles and
-#   data_mix), (b) the curation suite that had no driver row in r1/r2
-#   (pii_redact, decontaminate, corpus_curation, seq_pack,
-#   neardup_clusters, doc_keywords, url_terms, embedding_centroids),
-#   (c) distinct-shape representatives of each suite.
-# Rotated OUT (all green in CORRECTNESS_r02, shapes unchanged): 13 kg_*
-# serving rows, q_ann_ivf, q_emb_neardup_pairs, and the relational
-# distinct-shape block — every one stays exact-oracle-checked locally by
-# scripts_dev/check_oracles.py (all sfs) and tests/test_oracle_parity.py.
-_GATE_R3 = [
-    # KG pipeline core + new/changed serving entries
-    "kg_triples", "kg_nodes", "kg_edges", "kg_manifest",
-    "kg_rag_retrieve", "kg_rag_answer", "kg_merge_audit", "q_xml_ingest",
-    "kg_location_tiles", "kg_suggest_links", "kg_insights",
-    "kg_fuzzy_resolve", "kg_nl_route",
-    # graph suite (pagerank re-planned; pair paths + supergraph new;
-    # degree/2hop rotate out — r2-green trivial shapes)
-    "q_xml_attachments",
-    "q_pagerank", "q_graph_pair_paths", "q_community_supergraph",
-    "q_graph_cc", "q_betweenness", "q_louvain",
-    "q_graph_shortest_paths",
-    # geo suite
-    "q_reverse_geocode", "q_geo_copresence", "q_convoys", "q_tower_coreg",
-    # curation suite — first driver rows (verdict item 8) + changed data_mix
-    "q_pii_redact", "q_decontaminate", "q_corpus_curation", "q_data_mix",
-    "q_seq_pack", "q_neardup_clusters", "q_doc_keywords", "q_url_terms",
-    "q_embedding_centroids", "q_doc_ingest_formats",
-    # text/dedup/ANN distinct shapes
-    "q_doc_chunks", "q_doc_summary", "q_doc_search", "q_bm25_search",
-    "q_neardup_survivors", "q_doc_token_stats", "q_doc_quality",
-    "q_lang_id", "q_doc_fingerprint", "q_exact_dedup",
-    "q_ngram_jaccard_pairs", "q_minhash_lsh_pairs", "q_simhash",
-    "q_knn_bruteforce", "q_ann_signlsh",
+#   r4 priorities — (a) everything NEW or CHANGED this round: the
+#   multi-model-type XML reconciliation (q_xml_reconcile) + the extended
+#   dumps' existing readers (xml_ingest/attachments/intersection/case_scan),
+#   the wiretap folder parse, the docx/xlsx ingest + per-format manifest,
+#   the de-scaffolded rag_retrieve/answer, merge_audit and the pipeline
+#   core behind it, pagerank's cache-lifecycle change; (b) the four queries
+#   that never had a driver-hash row in r1-r3 (kg_cost_ledger, q_case_scan,
+#   q_extraction_intersection, q_value_quantiles — r3 verdict item 4);
+#   (c) the r2-green blocks rotated out in r3, back for a second row:
+#   the 13 kg_* serving queries, q_ann_ivf/q_emb_neardup_pairs, the small
+#   graph shapes, and the relational distinct-shape block.
+# Rotated OUT (all green in CORRECTNESS_r03, shapes unchanged): the
+# curation/text suite, geo suite, and big graph queries — every one stays
+# exact-oracle-checked locally by scripts_dev/check_oracles.py (all sfs)
+# and tests/test_oracle_parity.py.
+_GATE_R4 = [
+    # KG pipeline core (pipeline.py changed: rejected-pairs recovery,
+    # resume schema guard) + new/changed serving entries
+    "kg_triples", "kg_nodes", "kg_edges", "kg_manifest", "kg_merge_audit",
+    "kg_rag_retrieve", "kg_rag_answer", "kg_cost_ledger",
+    # new/changed ingest surface
+    "q_xml_reconcile", "q_wiretap_ingest", "q_xml_ingest",
+    "q_xml_attachments", "q_extraction_intersection", "q_case_scan",
+    "q_doc_ingest_formats", "q_doc_ingest_manifest",
+    # never-driver-checked relational + changed pagerank
+    "q_value_quantiles", "q_pagerank",
+    # kg serving block (r2-green, second driver row)
+    "kg_mentioned_in", "kg_payment_facts", "kg_top_entities",
+    "kg_owner_inference", "kg_unified_contacts", "kg_date_closure",
+    "kg_entity_summaries", "kg_last_location", "kg_graph_summary",
+    "kg_thread_stats", "kg_degree_topn", "kg_timeline_page",
+    "kg_envelope_daily",
+    # ANN variants rotated out in r3
+    "q_ann_ivf", "q_emb_neardup_pairs",
+    # small graph shapes rotated out in r3
+    "q_graph_2hop", "q_lpa_communities", "q_graph_degree",
+    "q_graph_triangles",
+    # relational/window distinct-shape block (r2-green)
+    "q_rollup_revenue", "q_distinct_approx", "q_json_props",
+    "q_track_thinning", "q_pricing_summary", "q_top_customers",
+    "q_region_revenue", "q_order_priority_pivot", "q_customer_first_order",
+    "q_monthly_revenue", "q_customers_no_orders",
+    "q_customers_with_orders_semi", "q_top_parts",
 ]
 
 # KG pipeline over events-derived transcripts: shared across all kg_*
@@ -147,9 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 TEXT_REGISTRY, RELATIONAL_REGISTRY):
         for name, (fn, _) in reg.items():
             all_q[name] = fn
-    missing = [n for n in _GATE_R3 if n not in all_q]
-    assert not missing and len(_GATE_R3) == 50, (missing, len(_GATE_R3))
-    q: dict[str, Callable] = {n: all_q[n] for n in _GATE_R3}
+    missing = [n for n in _GATE_R4 if n not in all_q]
+    assert not missing and len(_GATE_R4) == 50, (missing, len(_GATE_R4))
+    q: dict[str, Callable] = {n: all_q[n] for n in _GATE_R4}
     for name, fn in all_q.items():
         if name not in q:
             q[name] = fn

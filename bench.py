@@ -50,6 +50,18 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
                 **counts}
 
 
+def _spin_canary() -> float:
+    """Fixed single-thread spin: ~0.3 s on an idle core. A 2-5x inflated
+    reading means the host is CPU-contended and every wall-time in this
+    run is inflated with it — the r3 bench file's 2-3x graph-suite
+    'regressions' were exactly this, invisible without a canary."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -58,6 +70,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
+    canary_start = _spin_canary()
+    load_start = round(os.getloadavg()[0], 2)
     t_all = time.time()
 
     t = time.time()
@@ -80,6 +94,10 @@ def main():
     t = time.time()
     ensure_doc_files(spark, sf_dir)
     queries["doc_fixture_generate"] = round(time.time() - t, 3)
+    from owl_n4j_spark.plans.kg_analytics import ensure_wiretap
+    t = time.time()
+    ensure_wiretap(spark, sf_dir)
+    queries["wiretap_fixture_generate"] = round(time.time() - t, 3)
 
     for name, (fn, _sql) in REGISTRY.items():
         t = time.time()
@@ -104,6 +122,12 @@ def main():
         "kg_n_turns": kg_stats["n_turns"],
         "kg_triples": kg_stats["triples"],
         "cpus": cpus,
+        # host-contention telemetry: spin ~0.3s on an idle core; readings
+        # of 1s+ mean every wall-time above is inflated by CPU steal
+        "canary_spin_sec_start": canary_start,
+        "canary_spin_sec_end": _spin_canary(),
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -730,6 +730,95 @@ SELECT kind, n_files FROM (
 
 
 # ---------------------------------------------------------------------------
+# S6 — wiretap session-folder ingestion (.sri metadata + .rtf
+# interpretation composed into one ingestible document)
+# ---------------------------------------------------------------------------
+
+
+def ensure_wiretap(spark: SparkSession, sf_dir: str) -> str:
+    """Generate the wiretap session-folder fixture once per (session, sf)."""
+    from owl_n4j_spark.sources.wiretap import write_wiretap_folders
+
+    case_dir = warehouse_dir(spark, sf_dir, "wiretap")
+    marker = os.path.join(case_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_wiretap_folders(spark, sf_dir, case_dir)
+        open(marker, "w").close()
+    return case_dir
+
+
+def q_wiretap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiretap folder parse (SURVEY S6 —
+    ingestion/scripts/audio_processor.py:130-260 .sri/.rtf parse, :393-455
+    document composition): per-session folders ('view' events rendered as
+    recordings) are parsed by the recursive binaryFile + mapInPandas
+    reader — ini-style .sri metadata, destination-aware RTF stripping with
+    the PARTICIPANTS-line extraction, *.syn.rtf preferred over decoy
+    rtfs — and composed into the ingest document. Every output column is
+    relationally derivable from events + the person map, so the whole
+    parse chain has an exact oracle."""
+    from owl_n4j_spark.sources.wiretap import read_wiretap_sessions
+
+    return (read_wiretap_sessions(spark, ensure_wiretap(spark, sf_dir))
+            .select("folder_name", "time_of_call", "line_id", "contact_id",
+                    "session_length", "participants", "interpretation",
+                    "doc_text")
+            .orderBy("folder_name"))
+
+
+def _persons_full_values() -> str:
+    u = et._universe()
+    return ", ".join(
+        "({}, '{}')".format(p.idx, p.full.replace("'", "''"))
+        for p in u.persons)
+
+
+def _sql_q_wiretap_ingest() -> str:
+    return f"""
+WITH {_BASE_CTE},
+pv(idx, full_name) AS (VALUES {_persons_full_values()}),
+v AS (
+  SELECT event_id, ts, CAST(substring(conv_id, 6) AS BIGINT) AS uid
+  FROM t WHERE event_type = 'view'
+),
+base AS (
+  SELECT printf('%08d', event_id) AS folder_name,
+         date_trunc('second', ts) AS time_of_call,
+         substr(d10, 1, 3) || '-' || substr(d10, 4, 3) || '-'
+           || substr(d10, 7, 4) AS line_id,
+         printf('FMI=%d,%d,%d', event_id % 1000, event_id * 7 % 1000,
+                event_id * 13 % 10000) AS contact_id,
+         CAST(event_id % 900 + 30 AS INT) AS session_length,
+         a.full_name || ',' || b.full_name AS participants,
+         'PARTICIPANTS: ' || a.full_name || ' AND ' || b.full_name
+           || chr(10) || 'SYNOPSIS: ' || a.full_name || ' called '
+           || b.full_name || ' yesterday.' AS interpretation,
+         a.full_name AS a_name, b.full_name AS b_name
+  FROM (SELECT event_id, ts, uid,
+               right(substring({et._phone_key_sql('uid')}, 7), 10) AS d10
+        FROM v) d
+  JOIN pv a ON a.idx = d.uid
+  JOIN pv b ON b.idx = d.uid + 1
+)
+SELECT folder_name, time_of_call, line_id, contact_id, session_length,
+       participants, interpretation,
+       '=== WIRETAP RECORDING ===' || chr(10) ||
+       'Folder: ' || folder_name || chr(10) ||
+       'Input Line ID: ' || line_id || chr(10) ||
+       'Session Length: ' || CAST(session_length AS VARCHAR)
+         || ' seconds' || chr(10) ||
+       '=== PARTICIPANTS ===' || chr(10) || a_name || chr(10) || b_name
+         || chr(10) ||
+       '=== PROSECUTOR INTERPRETATION ===' || chr(10) || interpretation
+         AS doc_text
+FROM base ORDER BY folder_name
+"""
+
+
+SQL_Q_WIRETAP_INGEST = _sql_q_wiretap_ingest()
+
+
+# ---------------------------------------------------------------------------
 # Cross-extraction intersection: entities present in 2+ device dumps
 # ---------------------------------------------------------------------------
 
@@ -1811,6 +1900,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_merge_audit": (kg_merge_audit, SQL_KG_MERGE_AUDIT),
     "q_xml_ingest": (q_xml_ingest, SQL_Q_XML_INGEST),
     "q_xml_reconcile": (q_xml_reconcile, SQL_Q_XML_RECONCILE),
+    "q_wiretap_ingest": (q_wiretap_ingest, SQL_Q_WIRETAP_INGEST),
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),

@@ -1,0 +1,257 @@
+"""Wiretap session-folder ingestion (SURVEY S6 proper).
+
+The reference ingests wiretap recordings from per-session folders, each
+holding a ``.sri`` metadata file (key=value lines: line id, start time,
+session length, contact id), a prosecutor-interpretation ``.rtf`` (with a
+``PARTICIPANTS:`` line), and the audio itself
+(/root/reference/ingestion/scripts/audio_processor.py:130-260 parse,
+:393-455 composition into one ingestible document). Audio transcription is
+a Whisper call the SURVEY scopes out of the engine core (S5 stub); the
+folder PARSE + composition is pure deterministic work and lives here.
+
+Spark-first:
+- one recursive ``binaryFile`` scan over the case's sessions tree; the
+  per-file parse (ini-style .sri lines, a destination-aware RTF stripper)
+  runs in ONE Arrow ``mapInPandas`` emitting raw field strings;
+- normalization (timestamp parse, int casts) happens in column
+  expressions, never in the Python worker;
+- per-session assembly is two O(sessions) aggregations on the folder key
+  (metadata rows only — audio bytes are never shuffled), with the
+  reference's *.syn.rtf-preferred rule expressed as ``max_by`` on a
+  priority column;
+- the composed session rows feed the SAME transcripts contract as every
+  other source, so wiretaps flow through the one
+  normalize → extract → link → materialize pipeline.
+
+The generator renders 'view' events ("A called B yesterday.") as wiretap
+folders, so the whole parse has an exact relational oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DESTINATIONS = re.compile(r"\{\\(?:fonttbl|colortbl|stylesheet|info|\*)")
+_CTRL = re.compile(r"\\([a-z]+)(-?\d+)? ?")
+
+
+def rtf_to_text(s: str) -> str:
+    """Minimal deterministic RTF -> text (the striprtf contract the
+    reference relies on, audio_processor.py:186-210): drops destination
+    groups (font/color tables, \\* extensions) with nesting awareness,
+    converts \\par to newline, unescapes \\{ \\} \\\\, strips every other
+    control word, and trims blank lines."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    depth = 0
+    skip_depth = 0          # >0: inside a destination group at that depth
+    while i < n:
+        c = s[i]
+        if c == "{":
+            depth += 1
+            if not skip_depth and _DESTINATIONS.match(s, i):
+                skip_depth = depth
+            i += 1
+        elif c == "}":
+            if skip_depth == depth:
+                skip_depth = 0
+            depth -= 1
+            i += 1
+        elif c == "\\":
+            m = _CTRL.match(s, i)
+            if m:
+                if m.group(1) == "par" and not skip_depth:
+                    out.append("\n")
+                i = m.end()
+            else:               # escaped literal: \{ \} \\
+                if i + 1 < n and not skip_depth:
+                    out.append(s[i + 1])
+                i += 2
+        else:
+            if not skip_depth and c not in "\r\n":
+                out.append(c)
+            i += 1
+    return "\n".join(ln.strip() for ln in "".join(out).split("\n")
+                     if ln.strip())
+
+
+_PARTICIPANTS = re.compile(r"PARTICIPANTS:\s*(.+?)(?:\n|$)", re.I)
+_PART_SPLIT = re.compile(r"\s+(?:AND|AKA)\s+|\s*,\s*", re.I)
+
+
+def parse_rtf(raw: str) -> tuple[str, str]:
+    """-> (participants comma-joined, full stripped interpretation text) —
+    the reference's PARTICIPANTS-line extraction (audio_processor.py:
+    211-231) over the stripped text."""
+    text = rtf_to_text(raw)
+    parts: list[str] = []
+    m = _PARTICIPANTS.search(text)
+    if m:
+        parts = [p.strip() for p in _PART_SPLIT.split(m.group(1))
+                 if p.strip()]
+    return ",".join(parts), text
+
+
+def parse_sri(raw: str) -> dict:
+    """.sri key=value lines -> dict (audio_processor.py:130-185). Raw
+    strings only — type normalization is the caller's column expressions."""
+    out = {}
+    for line in raw.splitlines():
+        k, sep, v = line.partition("=")
+        if sep:
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _fmt_line_id(digits: str) -> str:
+    d10 = digits[-10:]
+    return f"{d10[:3]}-{d10[3:6]}-{d10[6:]}"
+
+
+def write_wiretap_folders(spark: SparkSession, sf_dir: str,
+                          out_dir: str) -> str:
+    """Render every 'view' event as one wiretap session folder:
+    <out>/sessions/<event_id %08d>/{<id>.sri, <id>.syn.rtf}. Every 10th
+    session also gets a decoy notes.rtf the parser must NOT prefer over
+    the syn interpretation. Fixture scaffolding — counts, metadata, and
+    text are all relationally derivable from events + the person map."""
+    from owl_n4j_spark.sources.events_transcripts import persons_df
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_type") == "view")
+          .select("event_id", "ts", "user_id").toPandas())
+    pers = persons_df(spark).toPandas().set_index("idx")
+    root = os.path.join(out_dir, "sessions")
+    os.makedirs(root, exist_ok=True)
+    for r in ev.itertuples(index=False):
+        eid = int(r.event_id)
+        uid = int(r.user_id)
+        a, b = pers.loc[uid], pers.loc[uid + 1]
+        folder = os.path.join(root, f"{eid:08d}")
+        os.makedirs(folder, exist_ok=True)
+        start = r.ts.strftime("%Y-%m-%d %H:%M:%S")
+        sri = (
+            "version=2\n"
+            f"input_line_id={_fmt_line_id(a.jid.split('@')[0])}\n"
+            f"start_string={start} CST\n"
+            f"session_length={eid % 900 + 30}\n"
+            "time_zone=CST\n"
+            f"contact_id=FMI={eid % 1000},{eid * 7 % 1000},"
+            f"{eid * 13 % 10000}\n")
+        rtf = (
+            "{\\rtf1\\ansi\\deff0\n"
+            "{\\fonttbl{\\f0\\fnil Times New Roman;}}\n"
+            f"\\f0\\fs24 PARTICIPANTS: {a.full_name} AND {b.full_name}\\par\n"
+            f"SYNOPSIS: {a.full_name} called {b.full_name} "
+            "yesterday.\\par\n}")
+        with open(os.path.join(folder, f"{eid:08d}.sri"), "w") as f:
+            f.write(sri)
+        with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
+            f.write(rtf)
+        if eid % 10 == 0:
+            with open(os.path.join(folder, "notes.rtf"), "w") as f:
+                f.write("{\\rtf1\\ansi DRAFT - do not use\\par}")
+    return out_dir
+
+
+_PARSE_SCHEMA = ("folder string, kind string, priority int, "
+                 "start_string string, line_id string, contact_id string, "
+                 "session_length string, participants string, "
+                 "interpretation string")
+
+
+def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
+    """Case directory -> one row per wiretap session:
+    (folder_name, time_of_call timestamp, line_id, contact_id,
+     session_length int, participants, interpretation, doc_text).
+
+    doc_text is the composed ingest document
+    (audio_processor.prepare_wiretap_for_ingestion:393-455): header with
+    metadata, participants block, interpretation — the text handed to
+    extraction."""
+    import pandas as pd
+
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true")
+             .option("pathGlobFilter", "*.{sri,rtf}")
+             .load(case_dir)
+             .select("path", "content"))
+
+    cols = ["folder", "kind", "priority", "start_string", "line_id",
+            "contact_id", "session_length", "participants",
+            "interpretation"]
+
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(path)
+                folder = os.path.basename(os.path.dirname(path))
+                raw = bytes(content).decode("utf-8", errors="ignore")
+                if base.endswith(".sri"):
+                    m = parse_sri(raw)
+                    out.append((folder, "sri", 0, m.get("start_string"),
+                                m.get("input_line_id"),
+                                m.get("contact_id"),
+                                m.get("session_length"), None, None))
+                elif base.endswith(".rtf"):
+                    parts, text = parse_rtf(raw)
+                    prio = 2 if ".syn." in base.lower() else 1
+                    out.append((folder, "rtf", prio, None, None, None,
+                                None, parts, text))
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = files.mapInPandas(parse, _PARSE_SCHEMA)
+
+    sri = (rows.filter(F.col("kind") == "sri")
+           .select(F.col("folder").alias("folder_name"),
+                   # "YYYY-MM-DD HH:MM:SS CST" -> timestamp (tz label is
+                   # sliced off; the reference parses naive local the same
+                   # way, audio_processor.py:158-166)
+                   F.to_timestamp(F.substring("start_string", 1, 19),
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("time_of_call"),
+                   "line_id", "contact_id",
+                   F.col("session_length").cast("int")
+                    .alias("session_length")))
+    # *.syn.rtf preferred over any other rtf in the folder
+    rtf = (rows.filter(F.col("kind") == "rtf")
+           .groupBy(F.col("folder").alias("folder_name"))
+           .agg(F.max_by("participants", "priority").alias("participants"),
+                F.max_by("interpretation", "priority")
+                 .alias("interpretation")))
+    sess = sri.join(rtf, "folder_name", "left")
+    doc_text = F.concat_ws(
+        "\n",
+        F.lit("=== WIRETAP RECORDING ==="),
+        F.concat(F.lit("Folder: "), F.col("folder_name")),
+        F.concat(F.lit("Input Line ID: "), F.col("line_id")),
+        F.concat(F.lit("Session Length: "),
+                 F.col("session_length").cast("string"),
+                 F.lit(" seconds")),
+        F.lit("=== PARTICIPANTS ==="),
+        F.regexp_replace(F.col("participants"), ",", "\n"),
+        F.lit("=== PROSECUTOR INTERPRETATION ==="),
+        F.col("interpretation"))
+    return sess.withColumn("doc_text", doc_text)
+
+
+def wiretap_transcripts(spark: SparkSession, case_dir: str) -> DataFrame:
+    """Wiretap sessions -> the transcripts contract (conv_id, turn_idx,
+    role, text, tool, ts), so wiretap evidence flows through the exact
+    same pipeline as chats/XML dumps (the reference likewise converges on
+    one ingest document shape before extraction)."""
+    s = read_wiretap_sessions(spark, case_dir)
+    return s.select(
+        F.concat(F.lit("wt-"), F.col("folder_name")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("line_id").alias("role"),
+        # the extractable claim line of the interpretation
+        F.regexp_extract("interpretation", r"SYNOPSIS: (.*)", 1)
+         .alias("text"),
+        F.lit("Wiretap").alias("tool"),
+        F.col("time_of_call").alias("ts"))
