@@ -76,15 +76,25 @@ def main():
         status = None
         # The driver hashes TYPED values: an int64 Spark column vs a
         # float64 oracle column (DuckDB HUGEINT sums reach pandas as
-        # float64) hash-differently even when every value is equal.
-        # Refuse to coerce across the int/float boundary so a local
-        # ALL-PASS implies a driver ALL-PASS (r2 kg_location_tiles bug).
+        # float64) hash-differently even when every value is equal — and
+        # the same holds for a digit STRING vs a number, a bool vs an int,
+        # etc. Refuse to coerce across ANY dtype-class boundary so a local
+        # ALL-PASS implies a driver ALL-PASS (r2 kg_location_tiles bug;
+        # r3 verdict item 7 extends it beyond the int/float case).
+        def _kind(s) -> str:
+            if pd.api.types.is_bool_dtype(s):
+                return "bool"
+            if pd.api.types.is_integer_dtype(s):
+                return "int"
+            if pd.api.types.is_float_dtype(s):
+                return "float"
+            if pd.api.types.is_datetime64_any_dtype(s):
+                return "datetime"
+            return "object"
+
         for c in set(got.columns) & set(want.columns):
-            gi = pd.api.types.is_integer_dtype(got[c])
-            wi = pd.api.types.is_integer_dtype(want[c])
-            gf = pd.api.types.is_float_dtype(got[c])
-            wf = pd.api.types.is_float_dtype(want[c])
-            if (gi and wf) or (gf and wi):
+            kg_, kw_ = _kind(got[c]), _kind(want[c])
+            if kg_ != kw_:
                 status = (f"dtype mismatch on '{c}': spark={got[c].dtype} "
                           f"duck={want[c].dtype} (driver hash would fail — "
                           f"CAST the oracle or the Spark column)")
