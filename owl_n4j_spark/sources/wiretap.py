@@ -158,10 +158,10 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
     return out_dir
 
 
-_PARSE_SCHEMA = ("folder string, kind string, priority int, "
-                 "start_string string, line_id string, contact_id string, "
-                 "session_length string, participants string, "
-                 "interpretation string")
+_SESSION_SCHEMA = ("folder_name string, start_string string, "
+                   "line_id string, contact_id string, "
+                   "session_length string, participants string, "
+                   "interpretation string")
 
 
 def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
@@ -169,62 +169,77 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
     (folder_name, time_of_call timestamp, line_id, contact_id,
      session_length int, participants, interpretation, doc_text).
 
+    PARALLEL UNIT = the session FOLDER (exactly the reference's
+    process_wiretap_folder granularity, audio_processor.py:253-260): one
+    top-level directory listing fans the folder paths out across
+    executors, and each task scans + parses ITS folders' few small files
+    locally, emitting the composed session row directly — zero shuffle,
+    no per-session metadata ever crosses the wire. A recursive binaryFile
+    scan here is the wrong shape: a 20k-session case means a 20k-directory
+    recursive listing serialized on the driver (measured 18 s at sf0.1,
+    and re-paid per reader), where one scandir of the sessions root is
+    milliseconds and the per-folder I/O rides the distributed map. The
+    *.syn.rtf-over-decoy preference resolves inside the task, so no
+    groupBy is needed either.
+
     doc_text is the composed ingest document
     (audio_processor.prepare_wiretap_for_ingestion:393-455): header with
     metadata, participants block, interpretation — the text handed to
     extraction."""
     import pandas as pd
 
-    files = (spark.read.format("binaryFile")
-             .option("recursiveFileLookup", "true")
-             .option("pathGlobFilter", "*.{sri,rtf}")
-             .load(case_dir)
-             .select("path", "content"))
+    root = os.path.join(case_dir, "sessions")
+    # ONE listing of the sessions root; folder names only (a 1M-session
+    # case is ~tens of MB of names — fine to fan out; shard the root by
+    # id-prefix if a case ever outgrows that).
+    folders = sorted(e.path for e in os.scandir(root) if e.is_dir())
+    n_slices = min(max(len(folders) // 64, 1),
+                   spark.sparkContext.defaultParallelism * 4)
+    fdf = spark.createDataFrame(
+        pd.DataFrame({"folder_path": folders})).repartition(n_slices)
 
-    cols = ["folder", "kind", "priority", "start_string", "line_id",
-            "contact_id", "session_length", "participants",
-            "interpretation"]
+    cols = ["folder_name", "start_string", "line_id", "contact_id",
+            "session_length", "participants", "interpretation"]
 
     def parse(batches):
         for pdf in batches:
             out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                base = os.path.basename(path)
-                folder = os.path.basename(os.path.dirname(path))
-                raw = bytes(content).decode("utf-8", errors="ignore")
-                if base.endswith(".sri"):
-                    m = parse_sri(raw)
-                    out.append((folder, "sri", 0, m.get("start_string"),
-                                m.get("input_line_id"),
-                                m.get("contact_id"),
-                                m.get("session_length"), None, None))
-                elif base.endswith(".rtf"):
-                    parts, text = parse_rtf(raw)
-                    prio = 2 if ".syn." in base.lower() else 1
-                    out.append((folder, "rtf", prio, None, None, None,
-                                None, parts, text))
+            for fp in pdf["folder_path"]:
+                meta: dict = {}
+                best_prio = 0
+                parts = interp = None
+                for entry in os.scandir(fp):
+                    name = entry.name.lower()
+                    if name.endswith(".sri"):
+                        with open(entry.path, encoding="utf-8",
+                                  errors="ignore") as f:
+                            meta = parse_sri(f.read())
+                    elif name.endswith(".rtf"):
+                        prio = 2 if ".syn." in name else 1
+                        if prio > best_prio:
+                            with open(entry.path, encoding="utf-8",
+                                      errors="ignore") as f:
+                                parts, interp = parse_rtf(f.read())
+                            best_prio = prio
+                out.append((os.path.basename(fp),
+                            meta.get("start_string"),
+                            meta.get("input_line_id"),
+                            meta.get("contact_id"),
+                            meta.get("session_length"), parts, interp))
             yield pd.DataFrame(out, columns=cols)
 
-    rows = files.mapInPandas(parse, _PARSE_SCHEMA)
+    rows = fdf.mapInPandas(parse, _SESSION_SCHEMA)
 
-    sri = (rows.filter(F.col("kind") == "sri")
-           .select(F.col("folder").alias("folder_name"),
-                   # "YYYY-MM-DD HH:MM:SS CST" -> timestamp (tz label is
-                   # sliced off; the reference parses naive local the same
-                   # way, audio_processor.py:158-166)
-                   F.to_timestamp(F.substring("start_string", 1, 19),
-                                  "yyyy-MM-dd HH:mm:ss")
-                    .alias("time_of_call"),
-                   "line_id", "contact_id",
-                   F.col("session_length").cast("int")
-                    .alias("session_length")))
-    # *.syn.rtf preferred over any other rtf in the folder
-    rtf = (rows.filter(F.col("kind") == "rtf")
-           .groupBy(F.col("folder").alias("folder_name"))
-           .agg(F.max_by("participants", "priority").alias("participants"),
-                F.max_by("interpretation", "priority")
-                 .alias("interpretation")))
-    sess = sri.join(rtf, "folder_name", "left")
+    sess = rows.select(
+        "folder_name",
+        # "YYYY-MM-DD HH:MM:SS CST" -> timestamp (tz label is sliced off;
+        # the reference parses naive local the same way,
+        # audio_processor.py:158-166)
+        F.to_timestamp(F.substring("start_string", 1, 19),
+                       "yyyy-MM-dd HH:mm:ss").alias("time_of_call"),
+        "line_id", "contact_id",
+        F.col("session_length").cast("int").alias("session_length"),
+        "participants", "interpretation")
     doc_text = F.concat_ws(
         "\n",
         F.lit("=== WIRETAP RECORDING ==="),

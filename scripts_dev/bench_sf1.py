@@ -1,0 +1,109 @@
+"""One measured 10x data point for the 100x-design claims (r3 verdict
+item 8): run the headline queries at "sf1" — a deterministic 10x tiling of
+the driver's sf0.1 tables — and record wall-times next to the sf0.1 solo
+numbers so the sub-linear-growth story in SCALE.md has a measurement.
+
+Tiling (no external data, fully deterministic):
+- events: 10 tiles; tile t shifts user_id by t*n_users (new conversations,
+  new graph vertices) and event_id by t*(max_event_id+1) (new event
+  identities). The synth person universe is widened to cover the shifted
+  user range — measurement scaffolding only, no oracle depends on it.
+- documents: 10 tiles; tile t shifts doc_id by t*n_docs and appends a
+  per-tile token to the text so cross-tile rows are near-dups, not exact
+  dups (a degenerate exact-dup corpus would collapse every LSH bucket).
+
+Run ALONE (no concurrent Spark) — wall-times are the point.
+
+Usage: python scripts_dev/bench_sf1.py [tiles]
+Prints one JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TILES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+DST = f"/tmp/owl_sf1_{TILES}x"
+
+
+def build(spark):
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DST, "_SUCCESS")):
+        return
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    e_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    tiles = F.explode(F.array(*[F.lit(t) for t in range(TILES)])).alias("t")
+    (ev.select("*", tiles)
+     .select((F.col("event_id") + F.col("t") * e_span).alias("event_id"),
+             "ts",
+             (F.col("user_id") + F.col("t") * n_users).alias("user_id"),
+             "event_type", "value", "props")
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{DST}/events.parquet"))
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    (docs.select("*", tiles)
+     .select((F.col("doc_id") + F.col("t") * n_docs).alias("doc_id"),
+             F.when(F.col("t") == 0, F.col("text"))
+              .otherwise(F.concat(F.col("text"), F.lit(" tile"),
+                                  F.col("t").cast("string"))).alias("text"),
+             "lang", "source",
+             F.when(F.col("t") == 0, F.col("n_chars"))
+              .otherwise(F.col("n_chars") + 6
+                         + F.length(F.col("t").cast("string")))
+              .alias("n_chars"))
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{DST}/documents.parquet"))
+    open(os.path.join(DST, "_SUCCESS"), "w").close()
+
+
+def main():
+    # widen the synth universe BEFORE anything caches it: tiled user ids
+    # reach TILES * 1500
+    from owl_n4j_spark.sources import events_transcripts as et
+    et.N_PERSONS = max(et.N_PERSONS, TILES * 1500 + 2)
+    et._UNIVERSE = None
+
+    from owl_n4j_spark.session import get_spark
+    spark = get_spark(master="local[32]", app_name="owl-sf1-proof",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+    t0 = time.time()
+    build(spark)
+    out = {"tiles": TILES, "build_sec": round(time.time() - t0, 1)}
+
+    from owl_n4j_spark.pipeline import run_pipeline
+    from owl_n4j_spark.plans.graph_algos import q_graph_cc, q_pagerank
+    from owl_n4j_spark.plans.text import q_corpus_curation, \
+        q_minhash_lsh_pairs
+
+    tr = et.transcripts_from_events(spark, DST)
+    n_turns = tr.count()
+    out["n_turns"] = n_turns
+    t = time.time()
+    res = run_pipeline(spark, tr, alias_dict=et.alias_dict_df(spark),
+                       with_manifest=False)
+    out["kg_triples"] = res["triples"].count()
+    out["kg_pipeline_sec"] = round(time.time() - t, 1)
+    out["kg_turns_per_sec"] = round(n_turns / out["kg_pipeline_sec"], 1)
+
+    for name, fn in [("q_pagerank", q_pagerank),
+                     ("q_graph_cc", q_graph_cc),
+                     ("q_minhash_lsh_pairs", q_minhash_lsh_pairs),
+                     ("q_corpus_curation", q_corpus_curation)]:
+        t = time.time()
+        n = fn(spark, DST).count()
+        out[f"{name}_sec"] = round(time.time() - t, 1)
+        out[f"{name}_rows"] = n
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
