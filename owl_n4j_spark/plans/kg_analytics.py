@@ -711,18 +711,21 @@ def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q_CASE_SCAN = f"""
 SELECT kind, n_files FROM (
   SELECT 'html_doc' AS kind, CAST(COUNT(*) AS BIGINT) AS n_files
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 5 = 0
   UNION ALL
   SELECT 'md_doc', CAST(COUNT(*) AS BIGINT)
-  FROM documents WHERE doc_id % 4 = 1
+  FROM documents WHERE doc_id % 5 = 1
   UNION ALL
   SELECT 'docx_doc', CAST(COUNT(*) AS BIGINT)
-  FROM documents WHERE doc_id % 4 = 2
+  FROM documents WHERE doc_id % 5 = 2
   UNION ALL
   SELECT 'xlsx_doc', CAST(COUNT(*) AS BIGINT)
-  FROM documents WHERE doc_id % 4 = 3
+  FROM documents WHERE doc_id % 5 = 3
+  UNION ALL
+  -- real pdfs + the no-text-layer scan decoy (same %PDF magic)
+  SELECT 'pdf_doc', CAST(COUNT(*) + 1 AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 4
   UNION ALL SELECT 'ufed_report', CAST({UFED_N_FILES} AS BIGINT)
-  UNION ALL SELECT 'pdf_doc', CAST(1 AS BIGINT)
   -- case_notes.txt (xml dir) + notes.xyz (doc dir)
   UNION ALL SELECT 'other', CAST(2 AS BIGINT)
 ) ORDER BY kind

@@ -1755,23 +1755,25 @@ def q_doc_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fmt"))
 
 
-# decoys written by write_doc_files: one stub-format .pdf + one unknown .xyz
+# decoys written by write_doc_files: one image-only .pdf (no text layer,
+# quarantined) + one unknown .xyz
 SQL_DOC_INGEST_MANIFEST = """
 SELECT fmt, n_files, n_ok, n_quarantined FROM (
   SELECT 'html' AS fmt, CAST(COUNT(*) AS BIGINT) AS n_files,
          CAST(COUNT(*) AS BIGINT) AS n_ok, CAST(0 AS BIGINT) AS n_quarantined
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 5 = 0
   UNION ALL
   SELECT 'md', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
-         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 1
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 5 = 1
   UNION ALL
   SELECT 'docx', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
-         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 2
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 5 = 2
   UNION ALL
   SELECT 'xlsx', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
-         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 4 = 3
+         CAST(0 AS BIGINT) FROM documents WHERE doc_id % 5 = 3
   UNION ALL
-  SELECT 'pdf', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  SELECT 'pdf', CAST(COUNT(*) + 1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(1 AS BIGINT) FROM documents WHERE doc_id % 5 = 4
   UNION ALL
   SELECT 'xyz', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
 ) ORDER BY fmt

@@ -10,18 +10,21 @@ ingest_data.py:23-30 dispatch). Spark-first analog:
 - Per-format extractors run inside ONE Arrow ``mapInPandas`` stage that
   dispatches on extension per row — adding a format is adding a function to
   the dispatch table, not a new pipeline.
-- html/md/docx/xlsx extract with deterministic stdlib parsing: html strips
-  boilerplate via the <p>-blocks main-content rule, docx reads
+- html/md/docx/xlsx/pdf/txt extract with deterministic stdlib parsing:
+  html strips boilerplate via the <p>-blocks main-content rule, docx reads
   word/document.xml runs (Title-styled paragraphs dropped — the docx analog
   of html's <h1>) + docProps/core.xml metadata, xlsx reads sheet1's
-  inline-string cells — both are zip + ElementTree, no external libs.
-  pdf stays a STUB with the same signature (its decode library is not in
-  this container) that raises NotImplementedError per file; the dispatch
-  QUARANTINES such files (counted per-format in the ingest manifest) —
-  mirroring the reference's skip-and-log rather than fail-the-ingest.
+  inline-string cells (zip + ElementTree, no external libs), pdf walks
+  FlateDecode content streams reading Tf/Tj text operators (zlib +
+  regex — the digital-born subset of the reference's pdf_ingestion;
+  heading-sized text dropped by the same font-size heuristic real pdf
+  extractors use), txt is the body verbatim. An image-only pdf (no text
+  operators) raises NoTextLayer and the dispatch QUARANTINES it (counted
+  per-format in the ingest manifest) — mirroring the reference's
+  skip-and-log rather than fail-the-ingest.
 
 The generator renders the driver ``documents`` table to one file per doc
-(format by doc_id % 4: html/md/docx/xlsx), so extraction has an exact
+(format by doc_id % 5: html/md/docx/xlsx/pdf), so extraction has an exact
 oracle: parse(generate(docs)) must equal the documents table itself.
 """
 
@@ -107,16 +110,17 @@ def _render_xlsx(row) -> bytes:
 
 
 def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
-    """documents table -> one file per document, format by doc_id % 4
-    (0 .html / 1 .md / 2 .docx / 3 .xlsx), each with boilerplate or
-    container structure the extractor must handle. Also drops two decoys
-    the dispatch must route WITHOUT crashing the ingest: a .pdf (stub
-    format -> quarantined) and an unknown extension (-> quarantined)."""
+    """documents table -> one file per document, format by doc_id % 5
+    (0 .html / 1 .md / 2 .docx / 3 .xlsx / 4 .pdf), each with boilerplate
+    or container structure the extractor must handle. Also drops two
+    decoys the dispatch must route WITHOUT crashing the ingest: an
+    image-only .pdf with no text layer (-> quarantined) and an unknown
+    extension (-> quarantined)."""
     pdf = (spark.read.parquet(f"{sf_dir}/documents.parquet")
            .toPandas().sort_values("doc_id"))
     os.makedirs(out_dir, exist_ok=True)
     for row in pdf.itertuples(index=False):
-        fmt = row.doc_id % 4
+        fmt = row.doc_id % 5
         if fmt == 0:
             body = (
                 '<!DOCTYPE html>\n'
@@ -143,9 +147,12 @@ def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
         elif fmt == 2:
             body = _render_docx(row)
             name = f"doc_{row.doc_id:08d}.docx"
-        else:
+        elif fmt == 3:
             body = _render_xlsx(row)
             name = f"doc_{row.doc_id:08d}.xlsx"
+        else:
+            body = _render_pdf(row)
+            name = f"doc_{row.doc_id:08d}.pdf"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(body)
     with open(os.path.join(out_dir, "scan_0001.pdf"), "wb") as f:
@@ -290,13 +297,115 @@ def _extract_xlsx(name: str, raw: bytes) -> tuple:
     return (kv.get("text", ""), kv.get("lang"), kv.get("source"))
 
 
-def _extract_stub(kind: str):
-    def fn(name: str, raw) -> tuple:
-        raise NotImplementedError(
-            f"{kind} extraction requires a decode library not present in "
-            f"this environment (file {name!r}); the dispatch plumbing is "
-            "the tested surface")
-    return fn
+class NoTextLayer(Exception):
+    """A parseable file with no extractable text (e.g. an image-only
+    scanned PDF). The dispatch QUARANTINES these — the reference's OCR-less
+    reality for scans — rather than emitting an empty document."""
+
+
+def _render_pdf(row) -> bytes:
+    """Minimal well-formed single-page PDF: FlateDecode content stream with
+    Tf/Tj text operators, Info dict carrying source (/Subject) and lang
+    (/Keywords), correct xref. The 14-pt title line is heading boilerplate
+    the extractor must drop (the pdf analog of html's <h1>)."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return (s.replace("\\", "\\\\").replace("(", "\\(")
+                 .replace(")", "\\)"))
+
+    content = (
+        f"BT /F1 14 Tf 72 740 Td (Document {row.doc_id}) Tj ET\n"
+        f"BT /F1 10 Tf 72 700 Td ({esc(row.text)}) Tj ET\n").encode()
+    stream = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        (f"<< /Subject ({esc(row.source)}) /Keywords ({esc(row.lang)}) >>"
+         ).encode(),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj ".encode() + body + b" endobj\n"
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer << /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R /Info 6 0 R >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+_PDF_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream",
+                         re.S)
+_PDF_TOK = re.compile(rb"([0-9.]+)\s+Tf|\(((?:\\.|[^()\\])*)\)\s*Tj")
+_PDF_ESCAPES = {ord("n"): 10, ord("r"): 13, ord("t"): 9,
+                ord("("): 40, ord(")"): 41, ord("\\"): 92}
+
+
+def _pdf_unescape(b: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C and i + 1 < n:           # backslash escape
+            out.append(_PDF_ESCAPES.get(b[i + 1], b[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _extract_pdf(name: str, raw: bytes) -> tuple:
+    """Stdlib PDF text extraction for the common uncompressed/FlateDecode
+    text-operator case (the reference routes .pdf through pdf_ingestion;
+    this covers its digital-born subset): walk every content stream,
+    inflate when /FlateDecode, read Tf (font size) / Tj (show string)
+    operators in order, drop heading-sized text (>12pt — the font-size
+    heuristic pdf extractors use for structure), unescape PDF strings.
+    lang/source come from the Info dict. A PDF with NO text operators
+    (image-only scan) raises NoTextLayer -> quarantined, never an empty
+    document."""
+    import zlib
+
+    m = re.search(rb"/Keywords \(((?:\\.|[^()\\])*)\)", raw)
+    lang = _pdf_unescape(m.group(1)) if m else None
+    m = re.search(rb"/Subject \(((?:\\.|[^()\\])*)\)", raw)
+    source = _pdf_unescape(m.group(1)) if m else None
+    paras: list[str] = []
+    for sm in _PDF_STREAM.finditer(raw):
+        head, data = sm.group(1), sm.group(2)
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        size = 0.0
+        for tok in _PDF_TOK.finditer(data):
+            if tok.group(1) is not None:
+                size = float(tok.group(1))
+            elif size <= 12:
+                paras.append(_pdf_unescape(tok.group(2)))
+    if not paras:
+        raise NoTextLayer(name)
+    return ("\n".join(paras), lang, source)
+
+
+def _extract_txt(name: str, raw: bytes) -> tuple:
+    """Plain text carries no metadata side-channel (reference
+    text_ingestion): the whole file is the document body."""
+    text = raw.decode("utf-8").rstrip("\n")
+    return (text, None, None)
 
 
 _DISPATCH = {
@@ -305,7 +414,8 @@ _DISPATCH = {
     ".md": _extract_md,
     ".docx": _extract_docx,
     ".xlsx": _extract_xlsx,
-    ".pdf": _extract_stub("pdf"),
+    ".pdf": _extract_pdf,
+    ".txt": _extract_txt,
 }
 
 _DOC_ID = re.compile(r"doc_(\d+)\.")
@@ -371,6 +481,11 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
                     if with_status:
                         out.append((doc_id, None, None, None, None,
                                     fmt, "quarantined_stub"))
+                    continue
+                except NoTextLayer:
+                    if with_status:
+                        out.append((doc_id, None, None, None, None,
+                                    fmt, "no_text_layer"))
                     continue
                 row = (doc_id, text, lang, source,
                        len(text) if text is not None else None)

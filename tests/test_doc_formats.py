@@ -31,21 +31,23 @@ def test_unsupported_formats_quarantined_not_crashed(spark, tmp_path):
     d.mkdir()
     (d / "doc_00000001.md").write_text(
         "---\nlang: en\nsource: s\n---\n# Document 1\n\nbody text\n")
-    (d / "notes.txt").write_text("not a supported format")
-    (d / "doc_00000002.pdf").write_bytes(b"%PDF-1.4 fake")
+    (d / "sidecar.xyz").write_text("not a supported format")
+    # image-only scan: valid pdf magic, zero text operators
+    (d / "doc_00000002.pdf").write_bytes(b"%PDF-1.4\n% image-only scan\n")
+    (d / "notes.txt").write_text("plain text body\n")
     # plain path: unsupported files are skipped, never a crash
     rows = read_documents_dir(spark, str(d)).collect()
-    assert len(rows) == 1 and rows[0]["text"] == "body text"
+    assert {r["text"] for r in rows} == {"body text", "plain text body"}
     # status path: every file is accounted for — the dispatch gap is DATA
     st = {(r.fmt, r.status)
           for r in read_documents_dir(spark, str(d),
                                       with_status=True).collect()}
-    assert st == {("md", "ok"), ("txt", "unknown_format"),
-                  ("pdf", "quarantined_stub")}
-    # the stub itself still declares the gap explicitly
-    from owl_n4j_spark.sources.doc_formats import _DISPATCH
-    with pytest.raises(NotImplementedError, match="pdf extraction"):
-        _DISPATCH[".pdf"]("x.pdf", b"%PDF")
+    assert st == {("md", "ok"), ("txt", "ok"), ("xyz", "unknown_format"),
+                  ("pdf", "no_text_layer")}
+    # a textless pdf declares itself rather than yielding an empty doc
+    from owl_n4j_spark.sources.doc_formats import NoTextLayer, _DISPATCH
+    with pytest.raises(NoTextLayer):
+        _DISPATCH[".pdf"]("x.pdf", b"%PDF-1.4\n")
 
 
 def test_md_body_with_hash_lines_survives(spark, tmp_path):
