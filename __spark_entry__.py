@@ -51,7 +51,8 @@ _GATE_R4 = [
     "kg_triples", "kg_nodes", "kg_edges", "kg_manifest", "kg_merge_audit",
     "kg_rag_retrieve", "kg_rag_answer", "kg_cost_ledger",
     # new/changed ingest surface
-    "q_xml_reconcile", "q_wiretap_ingest", "q_xml_ingest",
+    "q_xml_reconcile", "q_wiretap_ingest", "kg_wiretap_triples",
+    "q_xml_ingest",
     "q_xml_attachments", "q_extraction_intersection", "q_case_scan",
     "q_doc_ingest_formats", "q_doc_ingest_manifest",
     # never-driver-checked relational + changed pagerank
@@ -72,7 +73,7 @@ _GATE_R4 = [
     "q_track_thinning", "q_pricing_summary", "q_top_customers",
     "q_region_revenue", "q_order_priority_pivot", "q_customer_first_order",
     "q_monthly_revenue", "q_customers_no_orders",
-    "q_customers_with_orders_semi", "q_top_parts",
+    "q_customers_with_orders_semi",
 ]
 
 # KG pipeline over events-derived transcripts: shared across all kg_*

@@ -787,8 +787,9 @@ v AS (
 base AS (
   SELECT printf('%08d', event_id) AS folder_name,
          date_trunc('second', ts) AS time_of_call,
-         substr(d10, 1, 3) || '-' || substr(d10, 4, 3) || '-'
-           || substr(d10, 7, 4) AS line_id,
+         CASE WHEN uid % 10 = 3 THEN '+' || digits
+              ELSE substr(d10, 1, 3) || '-' || substr(d10, 4, 3) || '-'
+                   || substr(d10, 7, 4) END AS line_id,
          printf('FMI=%d,%d,%d', event_id % 1000, event_id * 7 % 1000,
                 event_id * 13 % 10000) AS contact_id,
          CAST(event_id % 900 + 30 AS INT) AS session_length,
@@ -798,6 +799,7 @@ base AS (
            || b.full_name || ' yesterday.' AS interpretation,
          a.full_name AS a_name, b.full_name AS b_name
   FROM (SELECT event_id, ts, uid,
+               substring({et._phone_key_sql('uid')}, 7) AS digits,
                right(substring({et._phone_key_sql('uid')}, 7), 10) AS d10
         FROM v) d
   JOIN pv a ON a.idx = d.uid
@@ -819,6 +821,51 @@ FROM base ORDER BY folder_name
 
 
 SQL_Q_WIRETAP_INGEST = _sql_q_wiretap_ingest()
+
+
+def kg_wiretap_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiretap evidence through the WHOLE pipeline, exactly (S6 end-to-end
+    — the reference ingests prepared wiretap documents through the same
+    extraction/linking path as chats, audio_processor.py:455-520): parsed
+    session folders -> transcripts contract -> extract -> link ->
+    canonicalize -> materialize. The emitted triple set is relationally
+    derivable from the 'view' events (speaker key from the .sri line id
+    via the E.164 cascade; counterparty from the interpretation text via
+    the alias dictionary), so the full chain has an exact oracle — not
+    just a row-count parity test."""
+    from owl_n4j_spark.sources.wiretap import wiretap_transcripts
+
+    tr = wiretap_transcripts(spark, ensure_wiretap(spark, sf_dir))
+    res = run_pipeline(spark, tr, alias_dict=et.alias_dict_df(spark),
+                       with_manifest=False)
+    return (res["triples"]
+            .select("subj_key", "pred", "obj_key", "conv_id", "turn_idx")
+            .orderBy("subj_key", "pred", "obj_key", "conv_id"))
+
+
+SQL_KG_WIRETAP_TRIPLES = f"""
+WITH {_BASE_CTE},
+v AS (
+  SELECT printf('%08d', event_id) AS folder,
+         CAST(substring(conv_id, 6) AS BIGINT) AS uid
+  FROM t WHERE event_type = 'view'
+),
+legs AS (
+  SELECT {et._phone_key_sql('uid')} AS subj_key, 'SENT_MESSAGE' AS pred,
+         'chat-wt-' || folder AS obj_key, 'wt-' || folder AS conv_id
+  FROM v
+  UNION ALL
+  SELECT {et._phone_key_sql('uid')}, 'CALLED',
+         {et._phone_key_sql('uid + 1')}, 'wt-' || folder
+  FROM v
+  UNION ALL
+  SELECT {et._phone_key_sql('uid')}, 'PARTICIPATED_IN',
+         'chat-wt-' || folder, 'wt-' || folder
+  FROM v
+)
+SELECT subj_key, pred, obj_key, conv_id, CAST(0 AS INT) AS turn_idx
+FROM legs ORDER BY subj_key, pred, obj_key, conv_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1915,6 +1962,7 @@ KG_ANALYTICS_REGISTRY = {
     "q_xml_ingest": (q_xml_ingest, SQL_Q_XML_INGEST),
     "q_xml_reconcile": (q_xml_reconcile, SQL_Q_XML_RECONCILE),
     "q_wiretap_ingest": (q_wiretap_ingest, SQL_Q_WIRETAP_INGEST),
+    "kg_wiretap_triples": (kg_wiretap_triples, SQL_KG_WIRETAP_TRIPLES),
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),

@@ -108,8 +108,13 @@ def parse_sri(raw: str) -> dict:
 
 
 def _fmt_line_id(digits: str) -> str:
-    d10 = digits[-10:]
-    return f"{d10[:3]}-{d10[3:6]}-{d10[6:]}"
+    """NANP lines render the reference's 210-237-1858 style; non-NANP
+    lines keep their country code ('+50370000039') so the key cascade
+    resolves every line id to its canonical E.164 phone key."""
+    if digits.startswith("1") and len(digits) == 11:
+        d10 = digits[-10:]
+        return f"{d10[:3]}-{d10[3:6]}-{d10[6:]}"
+    return f"+{digits}"
 
 
 def write_wiretap_folders(spark: SparkSession, sf_dir: str,
