@@ -99,6 +99,73 @@ def run_incremental_xml_ingest(
     q.awaitTermination()
 
 
+def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
+    """STREAMING wiretap session ingestion (S6's landing-folder shape —
+    the reference re-scans evidence mounts for new session folders): a
+    binaryFile file-source stream over `<case>/sessions/*/*.sri`. The tiny
+    .sri file is the session's ARRIVAL SIGNAL and offset-tracked unit —
+    one checkpointed entry per session, exactly-once across restarts —
+    while the task reads the folder's sibling rtf files locally (the same
+    folder-local I/O as the batch reader; bytes never shuffle). Emits the
+    transcripts contract, so the stream feeds the same incremental
+    extraction as transcript drops and XML dumps."""
+    import os
+
+    import pandas as pd
+
+    from owl_n4j_spark.sources.wiretap import parse_rtf, parse_sri
+
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.sri")
+             .option("recursiveFileLookup", "true")
+             .load(case_dir)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = parse_sri(bytes(content).decode("utf-8",
+                                                       errors="ignore"))
+                folder = os.path.dirname(path.replace("file:", ""))
+                best_prio, interp = 0, None
+                try:
+                    entries = list(os.scandir(folder))
+                except OSError:
+                    entries = []
+                for e in entries:
+                    name = e.name.lower()
+                    if name.endswith(".rtf"):
+                        prio = 2 if ".syn." in name else 1
+                        if prio > best_prio:
+                            with open(e.path, encoding="utf-8",
+                                      errors="ignore") as f:
+                                _, interp = parse_rtf(f.read())
+                            best_prio = prio
+                text = ""
+                if interp:
+                    m = [ln for ln in interp.splitlines()
+                         if ln.startswith("SYNOPSIS: ")]
+                    text = m[0][len("SYNOPSIS: "):] if m else interp
+                out.append((f"wt-{os.path.basename(folder)}", 0,
+                            meta.get("input_line_id"), text, "Wiretap",
+                            (meta.get("start_string") or "")[:19] or None))
+            df = pd.DataFrame(out, columns=["conv_id", "turn_idx", "role",
+                                            "text", "tool", "ts"])
+            df["ts"] = pd.to_datetime(df["ts"],
+                                      format="%Y-%m-%d %H:%M:%S",
+                                      errors="coerce")
+            df["turn_idx"] = df["turn_idx"].astype("int32")
+            yield df
+
+    from owl_n4j_spark.sources.ufed_xml import (
+        TRANSCRIPT_SCHEMA as OUT_SCHEMA,
+    )
+    return files.mapInPandas(parse, OUT_SCHEMA)
+
+
 def extract_stream(transcripts: DataFrame,
                    gazetteer: list[str] | None = None) -> DataFrame:
     """Stateless stage 2/3 over a streaming DataFrame — identical operator,

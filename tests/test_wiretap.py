@@ -1,5 +1,7 @@
 """Wiretap folder ingestion (SURVEY S6): .sri/.rtf parse + pipeline feed."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from owl_n4j_spark.sources.wiretap import (
@@ -57,3 +59,45 @@ def test_wiretap_feeds_pipeline(spark):
     assert called.count() == n_sessions
     assert (called.filter(F.col("subj_key").startswith("phone-")).count()
             == n_sessions)
+
+
+def test_streaming_wiretap_incremental_and_restart_safe(spark, tmp_path):
+    # S6 as a STREAM: session folders land incrementally; the .sri file is
+    # the offset-tracked arrival signal — availableNow + checkpoint ingests
+    # each committed session exactly once across restarts
+    import shutil
+
+    from owl_n4j_spark.plans.kg_analytics import ensure_wiretap
+    from owl_n4j_spark.streaming.incremental import read_wiretap_stream
+
+    all_dir = ensure_wiretap(spark, SF)
+    sessions = sorted(
+        e.path for e in os.scandir(f"{all_dir}/sessions"))
+    live = tmp_path / "case" / "sessions"
+    live.mkdir(parents=True)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (read_wiretap_stream(spark, str(tmp_path / "case")).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for s in sessions[:3]:
+        shutil.copytree(s, live / os.path.basename(s))
+    run()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 3
+    for s in sessions[3:]:
+        shutil.copytree(s, live / os.path.basename(s))
+    run()
+    assert spark.read.parquet(out).count() == len(sessions)
+    run()   # nothing new: no re-ingest, no duplicates
+    got = spark.read.parquet(out)
+    assert got.count() == len(sessions)
+    # content parity with the batch derivation
+    want = wiretap_transcripts(spark, all_dir)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
