@@ -161,6 +161,7 @@ def run_pipeline(
         exponentially and Catalyst analysis time dominates execution (measured
         ~10s planning per action at sf0.01). The warehouse path gets the same
         truncation for free from the parquet round-trip."""
+        nonlocal resume
         if warehouse is None:
             return df_fn().localCheckpoint(eager=True)
         path = os.path.join(warehouse, name)
@@ -174,6 +175,12 @@ def run_pipeline(
             if not required_cols or all(c in prior.columns
                                         for c in required_cols):
                 return prior
+        # This stage is being (re)computed, so every committed stage after
+        # it derives from a lineage that no longer exists — resuming one
+        # would silently mix old and new semantics (e.g. a recomputed
+        # t03_mapping feeding t05_triples parquet built from the OLD
+        # mapping). Invalidate resume for the rest of the run.
+        resume = False
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)

@@ -681,27 +681,37 @@ def q_case_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("recursiveFileLookup", "true")
              .load([xml_dir, doc_dir])
              .select("content"))
+    return (files.select(case_file_kind().alias("kind"))
+            .groupBy("kind").agg(F.count("*").alias("n_files"))
+            .orderBy("kind"))
+
+
+def case_file_kind():
+    """Content-magic classifier over a binaryFile ``content`` column —
+    the sniff q_case_scan aggregates, factored out so any evidence walk
+    can route files the same way."""
     head = F.substring(F.col("content"), 1, 64).cast("string")
-    # OOXML containers are zips; the FIRST entry's name sits at the fixed
-    # local-file-header offset 31, so a binary substring decoded alone (no
-    # preceding invalid-UTF8 bytes can swallow it) is a deterministic
-    # content-magic — extension-agnostic like every other sniff here.
-    zip_entry = F.substring(F.col("content"), 31, 17).cast("string")
-    kind = (
+    # OOXML containers are zips whose part names appear verbatim in the
+    # local file headers, but their ORDER is writer-dependent (Word and
+    # Excel put [Content_Types].xml first; other producers vary) — so the
+    # sniff is a binary substring search for the defining part name over
+    # the whole blob (already fetched by this scan), gated on the PK zip
+    # magic, never a fixed-offset peek that only matches one writer.
+    is_zip = head.startswith("PK")
+    return (
         F.when(head.startswith("<?xml") & head.contains("<project"),
                F.lit("ufed_report"))
         .when(head.startswith("<!DOCTYPE html"), F.lit("html_doc"))
         .when(head.startswith("---\n"), F.lit("md_doc"))
-        .when(head.startswith("PK")
-              & (zip_entry == "word/document.xml"), F.lit("docx_doc"))
-        .when(head.startswith("PK")
-              & zip_entry.startswith("xl/workbook.xml"), F.lit("xlsx_doc"))
+        .when(is_zip & F.contains(F.col("content"),
+                                  F.lit(b"word/document.xml")),
+              F.lit("docx_doc"))
+        .when(is_zip & F.contains(F.col("content"),
+                                  F.lit(b"xl/workbook.xml")),
+              F.lit("xlsx_doc"))
         .when(head.startswith("%PDF"), F.lit("pdf_doc"))
         .otherwise(F.lit("other"))
     )
-    return (files.select(kind.alias("kind"))
-            .groupBy("kind").agg(F.count("*").alias("n_files"))
-            .orderBy("kind"))
 
 
 # UFED_N_FILES = write_ufed_xml's dump-file split (shared constant, so the
@@ -1667,7 +1677,10 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg_cand = deg.join(ent_cand.select("key").dropDuplicates(["key"]),
                         "key", "left_semi")
     cand = (
-        gated.join(F.broadcast(ent_cand), "uidx")
+        # LEFT: a gated doc whose entity never sent a message still ranks
+        # (graph leg 0) — an inner join would silently drop it from the
+        # candidate set while the text/vector gates admitted it
+        gated.join(F.broadcast(ent_cand), "uidx", "left")
         .join(F.broadcast(deg_cand), "key", "left")
         .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)))
     )
@@ -1704,7 +1717,10 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kg_rag_retrieve() -> str:
     from owl_n4j_spark.plans.text import LSH_NBITS, _DUCK_DOT, _bucket_duck
     nu = "(SELECT MAX(user_id) + 1 FROM events)"
-    ent = et._phone_key_sql(f"d.doc_id % {nu}")
+    # doc -> entity via the KG's own SENT_MESSAGE edges (the exact map the
+    # Spark side derives), LEFT-joined so an edgeless entity ranks deg 0 —
+    # never the closed-form phone-key formula, which would disagree with
+    # the Spark side whenever a user has no surviving message edge
     dot = _DUCK_DOT.format(a="q.qe", b="e.embedding")
     qn = _DUCK_DOT.format(a="q.qe", b="q.qe")
     cn = _DUCK_DOT.format(a="e.embedding", b="e.embedding")
@@ -1716,6 +1732,11 @@ deg AS (
     SELECT subj_key AS key FROM edges
     UNION ALL SELECT obj_key FROM edges
   ) WHERE key LIKE 'phone-%' GROUP BY key
+),
+entmap AS (
+  SELECT DISTINCT CAST(substring(obj_key, 11) AS BIGINT) AS uidx,
+         subj_key AS key
+  FROM edges WHERE pred = 'SENT_MESSAGE'
 ),
 bkt AS (SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
         FROM embeddings),
@@ -1738,7 +1759,8 @@ cand AS (
   FROM documents d
   JOIN bkt e ON e.vec_id = d.doc_id
   CROSS JOIN q
-  LEFT JOIN deg dg ON dg.key = {ent}
+  LEFT JOIN entmap em ON em.uidx = d.doc_id % {nu}
+  LEFT JOIN deg dg ON dg.key = em.key
   WHERE len(regexp_extract_all(d.text, '{RAG_TERM}')) > 0
      OR e.bucket IN (SELECT bucket FROM probe_set)
 ),

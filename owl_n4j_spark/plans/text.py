@@ -1739,10 +1739,10 @@ FROM documents ORDER BY doc_id
 def q_doc_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format ingest reconciliation for the document path (K5 applied
     to S4 — r3 verdict item 9): every file the scan saw becomes a manifest
-    row; stub formats (pdf) and unknown extensions are QUARANTINED counts,
-    not raised errors, so dispatch gaps surface as data the way the XML
-    reconciliation surfaces model-type gaps. One map stage + one
-    O(formats) aggregation."""
+    row; textless PDFs, corrupt files, and unknown extensions are
+    QUARANTINED counts, not raised errors, so dispatch gaps surface as
+    data the way the XML reconciliation surfaces model-type gaps. One map
+    stage + one O(formats) aggregation."""
     from owl_n4j_spark.sources.doc_formats import read_documents_dir
 
     df = read_documents_dir(spark, ensure_doc_files(spark, sf_dir),

@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import os
 import re
+import sys
 import zipfile
 from html import escape
 from html.parser import HTMLParser
@@ -431,11 +432,14 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
     the filename (the ingest key the reference also derives from the file);
     n_chars is recomputed from the extracted text.
 
-    A file whose format has only a stub extractor (pdf) or no extractor at
-    all is QUARANTINED, never a crash: with ``with_status=True`` every file
-    yields a row with (fmt, status ok/quarantined_stub/unknown_format) so
-    the per-format ingest manifest can reconcile files-seen vs
-    docs-extracted — the K5 discipline applied to the document path.
+    A file the extractors cannot handle is QUARANTINED, never a crash:
+    unknown extensions, image-only PDFs with no text layer, and any file
+    that makes its extractor raise (truncated zip container, malformed
+    OOXML, non-UTF8 text, ...) each yield — with ``with_status=True`` — a
+    row with (fmt, status ok/no_text_layer/extract_error/unknown_format)
+    so the per-format ingest manifest can reconcile files-seen vs
+    docs-extracted — the K5 discipline applied to the document path. One
+    corrupt evidence file must never abort a 100 TB ingest.
 
     ``coalesce_to``: binaryFile's 4 MB open-cost makes one task per small
     file (a 5000-doc corpus = 5000 tasks of microseconds each); coalesce —
@@ -477,15 +481,19 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
                     continue
                 try:
                     text, lang, source = fn(base, bytes(content))
-                except NotImplementedError:
-                    if with_status:
-                        out.append((doc_id, None, None, None, None,
-                                    fmt, "quarantined_stub"))
-                    continue
                 except NoTextLayer:
                     if with_status:
                         out.append((doc_id, None, None, None, None,
                                     fmt, "no_text_layer"))
+                    continue
+                except Exception as e:
+                    # corrupt container / malformed markup / bad encoding:
+                    # quarantine THIS file, keep the ingest running
+                    print(f"doc_formats: quarantined {base}: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    if with_status:
+                        out.append((doc_id, None, None, None, None,
+                                    fmt, "extract_error"))
                     continue
                 row = (doc_id, text, lang, source,
                        len(text) if text is not None else None)

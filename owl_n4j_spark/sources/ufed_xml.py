@@ -346,7 +346,6 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
     tool = None
     turn_idx = 0
     depth = 0    # <model> nesting: 1=Chat, 2=InstantMessage, 3=Attachment
-    chat_elem = None
     for event, elem in ET.iterparse(stream, events=("start", "end")):
         tag = local(elem.tag)
         if event == "start":
@@ -357,7 +356,6 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
                     chat_id = elem.get("id")
                     tool = None
                     turn_idx = 0
-                    chat_elem = elem
             continue
         # end events
         if tag == "field" and depth == 1 and chat_id is not None \
@@ -366,6 +364,20 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
             tool = v.text if v is not None else None
         elif tag == "model":
             mtype = elem.get("type")
+            if emit == "models":
+                # EVERY <model> at ANY depth gets a reconciliation row —
+                # including nested helper/unknown types (Party inside
+                # InstantMessage, or a type no writer knows). Restricting
+                # this to known (type, depth) pairs is exactly the silent-
+                # drop class K5 exists to catch: an unclassified nested
+                # model must surface as not_supported, never vanish.
+                if depth == 1 and mtype != "Chat":
+                    f = fields_of(elem)
+                    rows.append((mtype, elem.get("id"),
+                                 f.get("TimeStamp"), f.get("Name"),
+                                 f.get("Phone")))
+                else:
+                    rows.append((mtype, elem.get("id"), None, None, None))
             if depth == 3 and mtype == "Attachment" and chat_id:
                 if emit == "attachments":
                     f = fields_of(elem)
@@ -375,32 +387,19 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
                         f.get("DateTimeOriginal"), f.get("GPSLatitude"),
                         f.get("GPSLatitudeRef"), f.get("GPSLongitude"),
                         f.get("GPSLongitudeRef")))
-                elif emit == "models":
-                    rows.append((mtype, elem.get("id"), None, None, None))
                 elem.clear()    # message extraction must not see these
             elif depth == 2 and mtype == "InstantMessage" and chat_id:
                 if emit == "turns":
                     f = fields_of(elem)
                     rows.append((chat_id, turn_idx, f.get("Identifier"),
                                  f.get("Body"), tool, f.get("TimeStamp")))
-                elif emit == "models":
-                    rows.append((mtype, elem.get("id"), None, None, None))
                 turn_idx += 1
                 elem.clear()    # bound memory: message subtree is consumed
             elif depth == 1:
-                if emit == "models":
-                    if mtype == "Chat":
-                        rows.append((mtype, elem.get("id"),
-                                     None, None, None))
-                    else:
-                        f = fields_of(elem)
-                        rows.append((mtype, elem.get("id"),
-                                     f.get("TimeStamp"), f.get("Name"),
-                                     f.get("Phone")))
                 # every top-level model is consumed here — clear it so a
                 # dump with millions of non-chat models stays O(batch)
                 elem.clear()
-                chat_id, chat_elem = None, None
+                chat_id = None
             depth -= 1
             if len(rows) >= batch_rows:
                 yield rows

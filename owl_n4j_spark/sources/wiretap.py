@@ -43,8 +43,11 @@ def rtf_to_text(s: str) -> str:
     """Minimal deterministic RTF -> text (the striprtf contract the
     reference relies on, audio_processor.py:186-210): drops destination
     groups (font/color tables, \\* extensions) with nesting awareness,
-    converts \\par to newline, unescapes \\{ \\} \\\\, strips every other
-    control word, and trims blank lines."""
+    converts \\par to newline, decodes \\'xx 8-bit escapes (cp1252, the
+    \\ansi default) and \\uN unicode escapes (one fallback char skipped),
+    unescapes \\{ \\} \\\\, strips every other control word, and trims
+    blank lines — so a Word-authored interpretation with accented names
+    survives extraction instead of degrading to quote-garbage."""
     out: list[str] = []
     i, n = 0, len(s)
     depth = 0
@@ -62,11 +65,30 @@ def rtf_to_text(s: str) -> str:
             depth -= 1
             i += 1
         elif c == "\\":
+            if i + 1 < n and s[i + 1] == "'":
+                code = s[i + 2:i + 4]
+                if not skip_depth and len(code) == 2:
+                    try:
+                        out.append(bytes([int(code, 16)])
+                                   .decode("cp1252", "replace"))
+                    except ValueError:
+                        pass
+                i += 4
+                continue
             m = _CTRL.match(s, i)
             if m:
-                if m.group(1) == "par" and not skip_depth:
-                    out.append("\n")
+                word, num = m.group(1), m.group(2)
                 i = m.end()
+                if word == "par" and not skip_depth:
+                    out.append("\n")
+                elif word == "u" and num is not None:
+                    cp = int(num)
+                    if not skip_depth:
+                        out.append(chr(cp + 65536 if cp < 0 else cp))
+                    # \uN is followed by one fallback char (the \ucN=1
+                    # default) — skip it, whether bare or a \'xx escape
+                    if i < n:
+                        i += 4 if s.startswith("\\'", i) else 1
             else:               # escaped literal: \{ \} \\
                 if i + 1 < n and not skip_depth:
                     out.append(s[i + 1])
@@ -196,12 +218,14 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
     root = os.path.join(case_dir, "sessions")
     # ONE listing of the sessions root; folder names only (a 1M-session
     # case is ~tens of MB of names — fine to fan out; shard the root by
-    # id-prefix if a case ever outgrows that).
-    folders = sorted(e.path for e in os.scandir(root) if e.is_dir())
+    # id-prefix if a case ever outgrows that). A case with no sessions yet
+    # (or no sessions/ dir at all) is an empty result, not a crash.
+    folders = (sorted(e.path for e in os.scandir(root) if e.is_dir())
+               if os.path.isdir(root) else [])
     n_slices = min(max(len(folders) // 64, 1),
                    spark.sparkContext.defaultParallelism * 4)
     fdf = spark.createDataFrame(
-        pd.DataFrame({"folder_path": folders})).repartition(n_slices)
+        [(p,) for p in folders], "folder_path string").repartition(n_slices)
 
     cols = ["folder_name", "start_string", "line_id", "contact_id",
             "session_length", "participants", "interpretation"]

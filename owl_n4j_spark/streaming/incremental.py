@@ -148,7 +148,10 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
                 if interp:
                     m = [ln for ln in interp.splitlines()
                          if ln.startswith("SYNOPSIS: ")]
-                    text = m[0][len("SYNOPSIS: "):] if m else interp
+                    # no-SYNOPSIS sessions yield '' exactly like the batch
+                    # path's regexp_extract miss — the two ingestion paths
+                    # must extract identical triples for the same session
+                    text = m[0][len("SYNOPSIS: "):] if m else ""
                 out.append((f"wt-{os.path.basename(folder)}", 0,
                             meta.get("input_line_id"), text, "Wiretap",
                             (meta.get("start_string") or "")[:19] or None))

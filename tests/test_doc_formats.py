@@ -1,5 +1,7 @@
 """S4 document-format ingestion: round-trip + dispatch robustness."""
 
+import os
+
 import pytest
 
 from owl_n4j_spark.sources.doc_formats import (
@@ -58,3 +60,46 @@ def test_md_body_with_hash_lines_survives(spark, tmp_path):
         f"---\nlang: fr\nsource: x\n---\n# Document 7\n\n{body}\n")
     rows = read_documents_dir(spark, str(d)).collect()
     assert rows[0]["text"] == body
+
+
+def test_corrupt_files_quarantined_as_extract_error(spark, tmp_path):
+    """One corrupt evidence file must never abort the ingest: a truncated
+    OOXML container and a non-UTF8 text file each quarantine with an
+    extract_error manifest row while the rest of the batch extracts."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "doc_00000001.docx").write_bytes(b"PK\x03\x04 truncated zip")
+    (d / "doc_00000002.txt").write_bytes(b"\xff\xfe\x00 not utf-8")
+    (d / "doc_00000003.md").write_text(
+        "---\nlang: en\nsource: s\n---\n# D\n\nok body\n")
+    rows = read_documents_dir(spark, str(d)).collect()
+    assert {r["text"] for r in rows} == {"ok body"}
+    st = {(r.fmt, r.status)
+          for r in read_documents_dir(spark, str(d),
+                                      with_status=True).collect()}
+    assert st == {("docx", "extract_error"), ("txt", "extract_error"),
+                  ("md", "ok")}
+
+
+def test_case_file_kind_real_world_ooxml_order(spark, tmp_path):
+    """Word and Excel write [Content_Types].xml as the FIRST container
+    entry; the case-scan content magic must classify those zips too, not
+    only fixture-ordered ones — and stay extension-agnostic."""
+    import zipfile
+
+    from owl_n4j_spark.plans.kg_analytics import case_file_kind
+
+    d = tmp_path / "evidence"
+    d.mkdir()
+    with zipfile.ZipFile(d / "report.bin", "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("_rels/.rels", "<Relationships/>")
+        z.writestr("word/document.xml", "<w:document/>")
+    with zipfile.ZipFile(d / "sheet.bin", "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", "<workbook/>")
+    got = {os.path.basename(r.path): r.kind
+           for r in (spark.read.format("binaryFile").load(str(d))
+                     .select("path", case_file_kind().alias("kind"))
+                     .collect())}
+    assert got == {"report.bin": "docx_doc", "sheet.bin": "xlsx_doc"}

@@ -59,3 +59,45 @@ def test_resume_ignores_uncommitted_partial_stage(spark, tmp_path):
                       with_manifest=False)
     assert _nodes_set(r2) == want
     assert os.path.exists(os.path.join(wh, "t05_triples", "_SUCCESS"))
+
+
+def test_stale_stage_invalidates_downstream(spark, tmp_path):
+    """Mixed-lineage guard: when a committed stage is resume-INVALID (here
+    an old-engine t03_mapping lacking link_key), every stage AFTER it must
+    recompute too — resuming downstream parquet built from the old mapping
+    would silently mix two lineages in one result."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh3")
+    corpus = generate_corpus_pandas(15, seed=21)
+    tr = spark.createDataFrame(corpus["transcripts"])
+    ad = spark.createDataFrame(corpus["alias_dict"])
+    r1 = run_pipeline(spark, tr, alias_dict=ad, warehouse=wh,
+                      with_manifest=False)
+    want_nodes = _nodes_set(r1)
+    want_edges = sorted(map(tuple, r1["edges"]
+                            .select("src_key", "dst_key", "rel_type")
+                            .collect()))
+
+    # poison a DOWNSTREAM committed stage: a resume that trusts it would
+    # surface the sentinel row
+    edges_path = os.path.join(wh, "t07_edges")
+    poison = (spark.read.parquet(edges_path).limit(1)
+              .withColumn("src_key", F.lit("phone-POISON")))
+    poison.write.mode("append").parquet(edges_path)
+
+    # simulate the old-engine warehouse: committed t03_mapping w/o link_key
+    mpath = os.path.join(wh, "t03_mapping")
+    tmp_m = os.path.join(wh, "t03_mapping__tmp")
+    spark.read.parquet(mpath).drop("link_key").write.parquet(tmp_m)
+    shutil.rmtree(mpath)
+    os.rename(tmp_m, mpath)
+
+    r2 = run_pipeline(spark, tr, alias_dict=ad, warehouse=wh,
+                      with_manifest=False)
+    got_edges = sorted(map(tuple, r2["edges"]
+                           .select("src_key", "dst_key", "rel_type")
+                           .collect()))
+    assert _nodes_set(r2) == want_nodes
+    assert got_edges == want_edges          # sentinel gone: t07 recomputed
+    assert not any(s == "phone-POISON" for s, _, _ in got_edges)

@@ -101,3 +101,48 @@ def test_streaming_wiretap_incremental_and_restart_safe(spark, tmp_path):
     want = wiretap_transcripts(spark, all_dir)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
+
+
+def test_rtf_hex_and_unicode_escapes():
+    """Word-authored interpretations carry \\'xx (cp1252) and \\uN escapes;
+    accented names must survive, with the one \\uN fallback char skipped
+    whether it is bare or itself a \\'xx escape."""
+    rtf = "{\\rtf1\\ansi caf\\'e9\\par \\u233?t\\'e9\\par \\u8364\\'80!\\par}"
+    assert rtf_to_text(rtf).splitlines() == ["café", "été", "€!"]
+    # escapes inside destination groups stay dropped
+    assert rtf_to_text(
+        "{\\rtf1{\\fonttbl{\\f0 X\\'e9;}}body\\par}") == "body"
+
+
+def test_wiretap_empty_case(spark, tmp_path):
+    """A case with no sessions yet (or no sessions/ dir) is an empty
+    DataFrame, not a crash — the landing-folder shape starts empty."""
+    from owl_n4j_spark.sources.wiretap import read_wiretap_sessions
+
+    assert read_wiretap_sessions(spark, str(tmp_path)).count() == 0
+    (tmp_path / "sessions").mkdir()
+    assert read_wiretap_sessions(spark, str(tmp_path)).count() == 0
+    assert wiretap_transcripts(spark, str(tmp_path)).count() == 0
+
+
+def test_no_synopsis_batch_stream_parity(spark, tmp_path):
+    """A session whose interpretation has no SYNOPSIS line yields text=''
+    on BOTH ingestion paths — batch and stream must extract identical
+    triples for the same session."""
+    folder = tmp_path / "sessions" / "00000001"
+    folder.mkdir(parents=True)
+    (folder / "00000001.sri").write_text(
+        "version=2\ninput_line_id=210-555-0000\n"
+        "start_string=2024-01-01 10:00:00 CST\nsession_length=60\n")
+    (folder / "00000001.syn.rtf").write_text(
+        "{\\rtf1\\ansi PARTICIPANTS: A AND B\\par no summary here\\par}")
+    batch = wiretap_transcripts(spark, str(tmp_path)).collect()
+    assert len(batch) == 1 and batch[0].text == ""
+
+    from owl_n4j_spark.streaming.incremental import read_wiretap_stream
+    q = (read_wiretap_stream(spark, str(tmp_path))
+         .writeStream.format("memory").queryName("wt_nosyn")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srows = spark.sql("SELECT * FROM wt_nosyn").collect()
+    assert len(srows) == 1 and srows[0].text == ""

@@ -71,3 +71,46 @@ def test_unknown_type_never_dropped(spark, tmp_path):
            .groupBy("model_type").count().collect())
     assert {(r.model_type, r["count"]) for r in got} == {
         ("FrobnicatorLog", 2)}
+
+
+def test_nested_models_surface_at_any_depth(spark, tmp_path):
+    """EVERY <model> at ANY depth gets a reconciliation row — a Party
+    nested inside InstantMessage (the real UFED shape) and an unknown
+    nested type must both be counted, never silently dropped (the 45k-
+    events silent-drop class the reference's audit documents)."""
+    xml = textwrap.dedent(f"""\
+        <?xml version="1.0" encoding="utf-8"?>
+        <project xmlns="{XML_NS}" name="case-n">
+         <decodedData>
+          <modelType type="Chat">
+           <model type="Chat" id="c-1">
+            <field name="Source" type="String"><value>WhatsApp</value></field>
+            <multiModelField name="Messages" type="InstantMessage">
+             <model type="InstantMessage" id="m-1">
+              <modelField name="From" type="Party">
+               <model type="Party" id="p-1">
+                <field name="Identifier" type="String"><value>555</value></field>
+               </model>
+              </modelField>
+              <model type="MysteryBlob" id="b-1"><empty/></model>
+              <field name="Body" type="String"><value>hi</value></field>
+             </model>
+            </multiModelField>
+           </model>
+          </modelType>
+         </decodedData>
+        </project>
+    """)
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "dump_000.xml").write_text(xml)
+    got = {(r.model_type, r["count"])
+           for r in (read_ufed_models(spark, str(d))
+                     .groupBy("model_type").count().collect())}
+    assert got == {("Chat", 1), ("InstantMessage", 1),
+                   ("Party", 1), ("MysteryBlob", 1)}
+    # the turns parse still consumes the message normally
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
+    turns = read_ufed_xml(spark, str(d)).collect()
+    assert len(turns) == 1
+    assert turns[0].text == "hi" and turns[0].role == "555"
