@@ -261,3 +261,29 @@ def person_key_udf(
 @pandas_udf(StringType())
 def phone_e164_udf(raw: pd.Series) -> pd.Series:
     return raw.map(lambda s: normalise_phone(s) if isinstance(s, str) else None)
+
+
+def display_phone(key):
+    """F18 — INTERNATIONAL display rendering of a 'phone-<digits>' key as
+    a pure column expression (reference display_format,
+    backend/services/phone_normalise.py:133-152). The reference delegates
+    to the phonenumbers metadata library; this engine renders the
+    corpus's dial plans deterministically JVM-side:
+
+      phone-12102371858 -> '+1 210-237-1858'   (NANP, 3-3-4)
+      phone-50370000039 -> '+503 7000 0039'    (3-digit CC + 8, 4-4)
+      anything else     -> '+<digits>'         (fallback: unchanged E.164)
+    """
+    digits = F.substring(key, 7, 100)
+    return (
+        F.when(digits.startswith("1") & (F.length(digits) == 11),
+               F.concat(F.lit("+1 "),
+                        F.substring(digits, 2, 3), F.lit("-"),
+                        F.substring(digits, 5, 3), F.lit("-"),
+                        F.substring(digits, 8, 4)))
+        .when((F.length(digits) == 11) & ~digits.startswith("1"),
+              F.concat(F.lit("+"), F.substring(digits, 1, 3), F.lit(" "),
+                       F.substring(digits, 4, 4), F.lit(" "),
+                       F.substring(digits, 8, 4)))
+        .otherwise(F.concat(F.lit("+"), digits))
+    )

@@ -1584,6 +1584,55 @@ LIMIT {UNIFIED_CONTACTS_N}
 """
 
 
+def kg_display_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — E.164 -> INTERNATIONAL display rendering over every phone-
+    keyed entity in the KG (the reference's display_format,
+    backend/services/phone_normalise.py:133-152: '+12028052817' ->
+    '+1 202-805-2817', '+50233991579' -> '+502 3399 1579'; unparseable
+    input falls back unchanged). The reference calls the phonenumbers
+    metadata library; here the corpus's dial plans (NANP 3-3-4, CC+8-digit
+    4-4) render as pure column expressions via
+    functions.keys.display_phone — presentation is string surgery, and a
+    row-at-a-time UDF for it would put Python in a serving path for
+    nothing. One distinct over the triple endpoints, map-side formatting,
+    no extra shuffle beyond the distinct."""
+    from owl_n4j_spark.functions.keys import display_phone
+
+    tr = kg_result(spark, sf_dir)["triples"]
+    keys = (
+        tr.select(F.col("subj_key").alias("key"))
+        .unionByName(tr.select(F.col("obj_key").alias("key")))
+        .filter(F.col("key").startswith("phone-"))
+        .distinct()
+    )
+    return (keys.select(
+        F.concat(F.lit("+"), F.expr("substring(key, 7, 100)"))
+        .alias("canonical"),
+        display_phone(F.col("key")).alias("display"))
+        .orderBy("canonical"))
+
+
+SQL_KG_DISPLAY_CONTACTS = f"""
+WITH {_BASE_CTE}, {_TRIPLE_LEGS},
+pk AS (
+  SELECT DISTINCT key FROM (
+    SELECT subj_key AS key FROM triples
+    UNION ALL SELECT obj_key FROM triples
+  ) WHERE key LIKE 'phone-%'
+),
+d AS (SELECT substring(key, 7) AS digits FROM pk)
+SELECT '+' || digits AS canonical,
+       CASE WHEN digits LIKE '1%' AND length(digits) = 11
+            THEN '+1 ' || substring(digits, 2, 3) || '-' ||
+                 substring(digits, 5, 3) || '-' || substring(digits, 8, 4)
+            WHEN length(digits) = 11 AND digits NOT LIKE '1%'
+            THEN '+' || substring(digits, 1, 3) || ' ' ||
+                 substring(digits, 4, 4) || ' ' || substring(digits, 8, 4)
+            ELSE '+' || digits END AS display
+FROM d ORDER BY canonical
+"""
+
+
 # ---------------------------------------------------------------------------
 # L8 — hybrid RAG retrieval: text match + vector top-k + KG degree rerank
 # ---------------------------------------------------------------------------
@@ -1999,6 +2048,7 @@ KG_ANALYTICS_REGISTRY = {
     "kg_top_entities": (kg_top_entities, SQL_KG_TOP_ENTITIES),
     "kg_owner_inference": (kg_owner_inference, SQL_KG_OWNER_INFERENCE),
     "kg_unified_contacts": (kg_unified_contacts, SQL_KG_UNIFIED_CONTACTS),
+    "kg_display_contacts": (kg_display_contacts, SQL_KG_DISPLAY_CONTACTS),
     "kg_date_closure": (kg_date_closure, SQL_KG_DATE_CLOSURE),
     "kg_location_tiles": (kg_location_tiles, SQL_KG_LOCATION_TILES),
     "kg_entity_summaries": (kg_entity_summaries, SQL_KG_ENTITY_SUMMARIES),

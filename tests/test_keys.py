@@ -68,3 +68,21 @@ def test_key_priority_ordering():
 def test_phone_person_key():
     assert phone_person_key("+1 (240) 429-1127") == "phone-12404291127"
     assert phone_person_key("not a phone") is None
+
+
+def test_display_phone_pinned(spark):
+    """F18 display formatting pinned to the reference's examples
+    (phone_normalise.py display_format): NANP 3-3-4, 3-digit-CC 4-4,
+    unparseable unchanged."""
+    from pyspark.sql import functions as F
+
+    from owl_n4j_spark.functions.keys import display_phone
+
+    df = spark.createDataFrame(
+        [("phone-12102371858",), ("phone-50370000039",),
+         ("phone-999",)], "key string")
+    got = dict(df.select("key", display_phone(F.col("key"))
+                         .alias("d")).collect())
+    assert got == {"phone-12102371858": "+1 210-237-1858",
+                   "phone-50370000039": "+503 7000 0039",
+                   "phone-999": "+999"}
