@@ -215,15 +215,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _sym(copresence_edges(spark, sf_dir)).cache()
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
     n_v = deg.count()
-    ranks = deg.select(F.col("a").alias("v"),
-                       (F.lit(1.0) / F.lit(float(n_v))).alias("r"))
+    # n_v == 0 (no co-presence at a sparse sf): the constants are never
+    # applied to any row — 0.0 placeholders keep the plan buildable
+    # instead of a driver-side ZeroDivisionError, and the result is the
+    # same empty frame the oracle returns. The teleport numerator is the
+    # PYTHON double 1.0-0.85 (0.15000000000000002, not decimal 0.15); the
+    # oracle interpolates repr() of the same value so both engines divide
+    # identical doubles — a 2-ulp constant skew otherwise shifts every
+    # rank and eventually flips a round(,6) boundary at scale.
+    inv_n = 1.0 / float(n_v) if n_v else 0.0
+    teleport = (1.0 - PR_DAMPING) / n_v if n_v else 0.0
+    ranks = deg.select(F.col("a").alias("v"), F.lit(inv_n).alias("r"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     out = sym.join(deg, "a").repartition(n_part, "a").cache()
     for _ in range(PR_ITERS):
         contrib = _pr_contrib(out, ranks)
         ranks = contrib.select(
             "v",
-            (F.lit((1.0 - PR_DAMPING) / n_v)
+            (F.lit(teleport)
              + F.lit(PR_DAMPING) * F.col("in_r")).alias("r"),
         ).localCheckpoint(eager=False)
     # Materialize the final ranks (checkpoint leaf severs them from the
@@ -248,7 +257,7 @@ def _pagerank_sql() -> str:
         iters.append(f"""
 r{i} AS (
   SELECT s.b AS v,
-         (1.0 - {PR_DAMPING}) / (SELECT n FROM nv)
+         CAST({1.0 - PR_DAMPING!r} AS DOUBLE) / (SELECT n FROM nv)
            + {PR_DAMPING} * SUM(p.r / d.deg) AS r
   FROM sym s JOIN {prev} p ON p.v = s.a JOIN deg d ON d.v = s.a
   GROUP BY s.b
@@ -258,7 +267,7 @@ r{i} AS (
 WITH {_DUCK_EDGES_CTE},
 deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
 nv AS (SELECT COUNT(*) AS n FROM deg),
-r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS r FROM deg),
 {','.join(iters)}
 SELECT v AS user_id, round(r, 6) AS pagerank
 FROM {prev}
@@ -276,7 +285,11 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-presence graph; the oracle is an exact recursive-CTE reachability
     closure. Vertex ids are zero-padded so string-min == numeric-min."""
     e = copresence_edges(spark, sf_dir)
-    pad = lambda c: F.format_string("u%05d", F.col(c))
+    # pad width must exceed the largest plausible vertex-id decimal width
+    # or the string-min election diverges from numeric MIN past the pad
+    # (u99999 < u100000 numerically but NOT lexically): 9 digits covers
+    # the 100 TB-scale user space
+    pad = lambda c: F.format_string("u%09d", F.col(c))
     comps = connected_components(
         e.select(pad("a").alias("src"), pad("b").alias("dst")))
     return (
@@ -293,7 +306,7 @@ reach(u, v) AS (
   UNION
   SELECT r.u, s.b FROM reach r JOIN sym s ON s.a = r.v
 ),
-comp AS (SELECT u, printf('u%05d', MIN(v)) AS component FROM reach GROUP BY u)
+comp AS (SELECT u, printf('u%09d', MIN(v)) AS component FROM reach GROUP BY u)
 SELECT component, COUNT(*) AS size
 FROM comp GROUP BY component ORDER BY component
 """
@@ -343,7 +356,7 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GRAPH_SHORTEST_PATHS = f"""
 WITH RECURSIVE {_DUCK_EDGES_CTE},
-seed AS (SELECT MIN(a) AS s FROM sym),
+seed AS (SELECT MIN(a) AS s FROM sym HAVING MIN(a) IS NOT NULL),
 walk(v, d) AS (
   SELECT s, 0 FROM seed
   UNION

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from owl_n4j_spark.functions.numeric import stable_round
 from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.sources import events_transcripts as et
 from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
@@ -296,8 +297,8 @@ def kg_cost_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot), "__one").drop("__one")
         .select("stage", "in_rows", "out_rows", "unit_cost_micro",
                 "cost_micro",
-                F.round(F.col("cost_micro") * 100.0 / F.col("total"), 4)
-                 .alias("pct_of_total"))
+                stable_round(F.col("cost_micro") * 100.0 / F.col("total"), 4)
+                .alias("pct_of_total"))
         .orderBy("stage")
     )
 
@@ -315,8 +316,8 @@ priced AS (
   FROM manifest
 )
 SELECT stage, in_rows, out_rows, unit_cost_micro, cost_micro,
-       round(cost_micro * 100.0 / (SELECT SUM(cost_micro) FROM priced), 4)
-         AS pct_of_total
+       floor((cost_micro * 100.0 / (SELECT SUM(cost_micro) FROM priced))
+             * 10000.0 + 0.5) / 10000.0 AS pct_of_total
 FROM priced ORDER BY stage
 """
 
@@ -1318,10 +1319,10 @@ def kg_location_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("lat") / TILE_DEG).cast("bigint").alias("tile_lat"),
             F.floor(F.col("lon") / TILE_DEG).cast("bigint").alias("tile_lon"))
         .agg(F.sum("weight").alias("n_visits"),
-             F.round(F.sum(F.col("lat") * F.col("weight")) / F.sum("weight"), 6)
-              .alias("centroid_lat"),
-             F.round(F.sum(F.col("lon") * F.col("weight")) / F.sum("weight"), 6)
-              .alias("centroid_lon"))
+             stable_round(F.sum(F.col("lat") * F.col("weight"))
+                          / F.sum("weight"), 6).alias("centroid_lat"),
+             stable_round(F.sum(F.col("lon") * F.col("weight"))
+                          / F.sum("weight"), 6).alias("centroid_lon"))
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= TILE_TOP_N).drop("__r")
         .orderBy("tile_lat", "tile_lon")
@@ -1343,8 +1344,8 @@ tiles AS (
   SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
          CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
          CAST(SUM(weight) AS BIGINT) AS n_visits,
-         round(SUM(lat * weight) / SUM(weight), 6) AS centroid_lat,
-         round(SUM(lon * weight) / SUM(weight), 6) AS centroid_lon
+         floor((SUM(lat * weight) / SUM(weight)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_lat,
+         floor((SUM(lon * weight) / SUM(weight)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_lon
   FROM visits JOIN geo USING (key)
   GROUP BY tile_lat, tile_lon
 ),
@@ -1749,8 +1750,13 @@ def kg_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("text_score") / F.col("max_text"))
                               .otherwise(F.lit(0.0))
             + F.lit(_W_VEC) * (F.col("cos") + 1) / 2
-            + F.lit(_W_GRAPH) * F.log(1 + F.col("deg"))
-              / F.log(1 + F.col("max_deg")))
+            # max_deg == 0 (no candidate has an edged entity) is 0/0:
+            # Spark would yield NaN (sorts FIRST desc) where DuckDB
+            # yields NULL (sorts last) — guard like the max_text leg
+            + F.lit(_W_GRAPH) * F.when(F.col("max_deg") > 0,
+                                       F.log(1 + F.col("deg"))
+                                       / F.log(1 + F.col("max_deg")))
+                                 .otherwise(F.lit(0.0)))
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -1820,7 +1826,9 @@ scored AS (
                            THEN CAST(text_score AS DOUBLE) / s.max_text
                            ELSE 0.0 END)
          + {_W_VEC} * (cos + 1) / 2
-         + {_W_GRAPH} * ln(1 + deg) / ln(1 + s.max_deg) AS score
+         + {_W_GRAPH} * (CASE WHEN s.max_deg > 0
+                              THEN ln(1 + deg) / ln(1 + s.max_deg)
+                              ELSE 0.0 END) AS score
   FROM cand, stats s
 ),
 ranked AS (

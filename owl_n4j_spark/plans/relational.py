@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from owl_n4j_spark.functions.numeric import stable_round
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -39,7 +41,7 @@ def q_pricing_summary(spark, sf_dir):
             _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("sum_disc_price"),
-            F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            stable_round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -51,7 +53,7 @@ SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2)                              AS sum_qty,
        round(SUM(l_extendedprice), 2)                         AS sum_base_price,
        round(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
-       round(SUM(l_quantity) / COUNT(*), 6)                   AS avg_qty,
+       floor((SUM(l_quantity) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
        COUNT(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
@@ -263,7 +265,7 @@ def q_nation_customer_stats(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal") / F.count("*"), 6).alias("avg_acctbal"),
+            stable_round(F.sum("c_acctbal") / F.count("*"), 6).alias("avg_acctbal"),
             _r2(F.min("c_acctbal")).alias("min_acctbal"),
             _r2(F.max("c_acctbal")).alias("max_acctbal"),
         )
@@ -274,7 +276,7 @@ def q_nation_customer_stats(spark, sf_dir):
 SQL_NATION_CUSTOMER_STATS = """
 SELECT n_name,
        COUNT(*) AS n_customers,
-       round(SUM(c_acctbal) / COUNT(*), 6) AS avg_acctbal,
+       floor((SUM(c_acctbal) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_acctbal,
        round(MIN(c_acctbal), 2) AS min_acctbal,
        round(MAX(c_acctbal), 2) AS max_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -587,7 +589,7 @@ def q_value_histogram(spark, sf_dir):
     return (
         ev.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value") / F.count("*"), 6).alias("avg_value"))
+             stable_round(F.sum("value") / F.count("*"), 6).alias("avg_value"))
         .orderBy("bucket")
     )
 
@@ -595,7 +597,7 @@ def q_value_histogram(spark, sf_dir):
 SQL_VALUE_HISTOGRAM = """
 SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
        COUNT(*) AS n,
-       round(SUM(value) / COUNT(*), 6) AS avg_value
+       floor((SUM(value) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
 FROM events GROUP BY bucket ORDER BY bucket
 """
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from owl_n4j_spark.functions.numeric import stable_round
 from owl_n4j_spark.plans.relational import load
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
@@ -82,9 +83,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.round(stop_ratio, 6).alias("stop_ratio"),
-            F.round(mean_tok_len, 6).alias("mean_tok_len"),
-            F.round(score, 6).alias("quality_score"),
+            # stable_round, not F.round: these are ratios of small ints,
+            # which land on decimal-halfway points that Spark and DuckDB
+            # round in opposite directions (functions/numeric.py)
+            stable_round(stop_ratio, 6).alias("stop_ratio"),
+            stable_round(mean_tok_len, 6).alias("mean_tok_len"),
+            stable_round(score, 6).alias("quality_score"),
         )
         .orderBy("doc_id")
     )
@@ -92,9 +96,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_QUALITY = rf"""
 SELECT doc_id,
-       round(n_stop / n_tok, 6) AS stop_ratio,
-       round(length(regexp_replace(text, '\s+', '', 'g')) / n_tok, 6) AS mean_tok_len,
-       round(0.5 * (1.0 - n_stop / n_tok) + 0.5 * least(n_tok / 100.0, 1.0), 6) AS quality_score
+       floor((n_stop / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor((length(regexp_replace(text, '\s+', '', 'g')) / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS mean_tok_len,
+       floor((0.5 * (1.0 - n_stop / n_tok) + 0.5 * least(n_tok / 100.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
 FROM (
   SELECT doc_id, text,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
@@ -412,7 +416,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),
                            F.col("n_sh").alias("n_b")), "doc_b")
-        .withColumn("jaccard", F.round(
+        .withColumn("jaccard", stable_round(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "common", "jaccard")
@@ -430,11 +434,11 @@ pairs AS (
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, common,
-       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
 ORDER BY doc_a, doc_b
 """
 
@@ -509,7 +513,9 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_n4j_spark.operators.canonicalize import connected_components
 
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    pad = lambda c: F.format_string("d%06d", F.col(c))  # noqa: E731
+    # 9-digit pad: the string-min election must agree with numeric MIN
+    # past 1M docs (d999999 < d1000000 numerically but not lexically)
+    pad = lambda c: F.format_string("d%09d", F.col(c))  # noqa: E731
     comps = connected_components(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")))
     return (
@@ -546,7 +552,7 @@ reach(u, v) AS (
   UNION
   SELECT r.u, s.b FROM reach r JOIN sym s ON s.a = r.v
 ),
-comp AS (SELECT u, printf('d%06d', MIN(v)) AS cluster FROM reach GROUP BY u)
+comp AS (SELECT u, printf('d%09d', MIN(v)) AS cluster FROM reach GROUP BY u)
 SELECT cluster, COUNT(*) AS size
 FROM comp GROUP BY cluster ORDER BY cluster
 """
@@ -799,8 +805,8 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
-        .agg(F.round(F.sum(F.col("val").cast("double"))
-                     / F.count("*"), 6).alias("centroid_val"),
+        .agg(stable_round(F.sum(F.col("val").cast("double"))
+                          / F.count("*"), 6).alias("centroid_val"),
              F.count("*").alias("n_vecs"))
         .orderBy("label", "dim")
     )
@@ -808,7 +814,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_CENTROIDS = """
 SELECT label, i - 1 AS dim,
-       round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid_val,
+       floor((SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val,
        COUNT(*) AS n_vecs
 FROM embeddings, range(1, 65) r(i)
 GROUP BY label, dim
@@ -834,8 +840,8 @@ def _centroids_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
-        .agg(F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6)
-             .alias("cv"))
+        .agg(stable_round(F.sum(F.col("val").cast("double")) / F.count("*"),
+                          6).alias("cv"))
         .groupBy("label")
         .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
                     "x -> x.cv)").alias("centroid"))
@@ -846,7 +852,7 @@ _DUCK_CENTROIDS = """
 cent AS (
   SELECT label, list(cv ORDER BY dim) AS centroid FROM (
     SELECT label, i - 1 AS dim,
-           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+           floor((SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS cv
     FROM embeddings, range(1, 65) r(i)
     GROUP BY label, dim
   ) GROUP BY label
@@ -1145,7 +1151,8 @@ dups AS (
   FROM pairs
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+  WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.2
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
@@ -1463,9 +1470,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.expr(
         rf"size(filter(split(trim(text), '\\s+'), x -> x IN ({stop_in})))"
     ).cast("double")
-    score = F.round(F.lit(0.5) * (F.lit(1.0) - n_stop / n_tok)
-                    + F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
-                    6)
+    score = stable_round(
+        F.lit(0.5) * (F.lit(1.0) - n_stop / n_tok)
+        + F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
     quality = (docs.select("doc_id", score.alias("q"),
                            _fingerprint_col().alias("fingerprint"),
                            F.size(toks).alias("n_tok"))
@@ -1489,8 +1496,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),
                            F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(F.round(F.col("common")
-                        / (F.col("n_a") + F.col("n_b") - F.col("common")), 6)
+        .filter(stable_round(F.col("common")
+                             / (F.col("n_a") + F.col("n_b")
+                                - F.col("common")), 6)
                 >= 0.2)
         .select(F.col("doc_b").alias("doc_id")).dropDuplicates())
     neardup = exact.join(dup_b, "doc_id", "left_anti")
@@ -1524,8 +1532,9 @@ WITH q AS (
            AS n_tok
   FROM (
     SELECT doc_id, text,
-           round(0.5 * (1.0 - n_stop / n_tokd)
-                 + 0.5 * least(n_tokd / 100.0, 1.0), 6) AS qs
+           floor((0.5 * (1.0 - n_stop / n_tokd)
+                  + 0.5 * least(n_tokd / 100.0, 1.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS qs
     FROM (
       SELECT doc_id, text,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
@@ -1553,7 +1562,8 @@ dupb AS (
     GROUP BY doc_a, doc_b)
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.2
+  WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.2
 ),
 neardup AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
 bench AS (SELECT doc_id AS bench_id, shingle FROM sh
@@ -1617,8 +1627,8 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "target_pct")
         .agg(F.count("*").alias("n_total"),
              F.sum("keep").alias("n_kept"),
-             F.round(F.sum("keep") * 100.0 / F.count("*"), 4)
-              .alias("achieved_pct"))
+             stable_round(F.sum("keep") * 100.0 / F.count("*"), 4)
+             .alias("achieved_pct"))
         .orderBy("lang")
     )
 
@@ -1639,7 +1649,7 @@ WITH d AS (
 SELECT lang, target_pct,
        COUNT(*) AS n_total,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
-       round(SUM(keep) * 100.0 / COUNT(*), 4) AS achieved_pct
+       floor((SUM(keep) * 100.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS achieved_pct
 FROM d
 GROUP BY lang, target_pct
 ORDER BY lang
@@ -1670,8 +1680,8 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_off.groupBy("lang", "seq_id")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tok").alias("n_tokens"),
-             F.round(F.sum("n_tok") / F.lit(float(SEQ_LEN)), 4)
-              .alias("fill_ratio"))
+             stable_round(F.sum("n_tok") / F.lit(float(SEQ_LEN)), 4)
+             .alias("fill_ratio"))
         .orderBy("lang", "seq_id")
     )
 
@@ -1694,7 +1704,7 @@ o AS (
 SELECT lang, seq_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-       round(SUM(n_tok) / {float(SEQ_LEN)}, 4) AS fill_ratio
+       floor((SUM(n_tok) / {float(SEQ_LEN)}) * 10000.0 + 0.5) / 10000.0 AS fill_ratio
 FROM o
 GROUP BY lang, seq_id
 ORDER BY lang, seq_id

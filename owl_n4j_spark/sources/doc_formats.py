@@ -346,8 +346,33 @@ def _render_pdf(row) -> bytes:
     return bytes(out)
 
 
-_PDF_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream",
-                         re.S)
+_PDF_STREAM_HDR = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_PDF_LENGTH = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+
+
+def _pdf_streams(raw: bytes):
+    """Yield (dict_head, payload) per content stream. The payload size
+    comes from the dict's /Length entry (the PDF spec's contract) —
+    scanning for the 'endstream' keyword instead silently truncates any
+    compressed payload whose last byte happens to be \\r (the EOL regex
+    eats it; ~1/256 of FlateDecode streams), which is exactly how three
+    sf0.1 fixture PDFs lost their text layer. An indirect /Length
+    ('4 0 R') falls back to the keyword scan."""
+    for sm in _PDF_STREAM_HDR.finditer(raw):
+        head, start = sm.group(1), sm.end()
+        lm = _PDF_LENGTH.search(head)
+        if lm:
+            yield head, raw[start:start + int(lm.group(1))]
+            continue
+        end = raw.find(b"endstream", start)
+        if end == -1:
+            continue
+        data = raw[start:end]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
+        yield head, data
 _PDF_TOK = re.compile(rb"([0-9.]+)\s+Tf|\(((?:\\.|[^()\\])*)\)\s*Tj")
 _PDF_ESCAPES = {ord("n"): 10, ord("r"): 13, ord("t"): 9,
                 ord("("): 40, ord(")"): 41, ord("\\"): 92}
@@ -384,8 +409,7 @@ def _extract_pdf(name: str, raw: bytes) -> tuple:
     m = re.search(rb"/Subject \(((?:\\.|[^()\\])*)\)", raw)
     source = _pdf_unescape(m.group(1)) if m else None
     paras: list[str] = []
-    for sm in _PDF_STREAM.finditer(raw):
-        head, data = sm.group(1), sm.group(2)
+    for head, data in _pdf_streams(raw):
         if b"/FlateDecode" in head:
             try:
                 data = zlib.decompress(data)

@@ -103,3 +103,33 @@ def test_case_file_kind_real_world_ooxml_order(spark, tmp_path):
                      .select("path", case_file_kind().alias("kind"))
                      .collect())}
     assert got == {"report.bin": "docx_doc", "sheet.bin": "xlsx_doc"}
+
+
+def test_pdf_cr_tailed_stream_not_truncated():
+    """Regression: a FlateDecode payload whose LAST byte is \\r (~1/256 of
+    streams — three real fixture PDFs at sf0.1) was truncated by the
+    endstream-scanning regex (\\r? ate the payload byte), failing inflate
+    and quarantining a perfectly good document. The reader must honor the
+    dict's /Length instead. The tab padding steers the zlib adler32
+    checksum so the compressed stream provably ends in \\r."""
+    import zlib
+    from collections import namedtuple
+
+    from owl_n4j_spark.sources.doc_formats import _extract_pdf, _render_pdf
+
+    base = "cr-tail probe body"
+
+    def content(text):
+        return (f"BT /F1 14 Tf 72 740 Td (Document 7) Tj ET\n"
+                f"BT /F1 10 Tf 72 700 Td ({text}) Tj ET\n").encode()
+
+    # adler32 low byte == (1 + byte_sum) & 0xff for small streams; tabs
+    # (9, coprime to 256) can steer it to any value — target 0x0D
+    pad = ((0x0D - 1 - sum(content(base))) * 57) % 256
+    text = base + "\t" * pad
+    assert zlib.compress(content(text)).endswith(b"\r")
+
+    Row = namedtuple("Row", "doc_id text source lang")
+    raw = _render_pdf(Row(7, text, "src", "en"))
+    got_text, got_lang, got_source = _extract_pdf("doc_00000007.pdf", raw)
+    assert got_text == text and got_lang == "en" and got_source == "src"
