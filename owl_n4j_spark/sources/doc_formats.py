@@ -447,7 +447,7 @@ _DOC_ID = re.compile(r"doc_(\d+)\.")
 
 
 def read_documents_dir(spark: SparkSession, doc_dir: str,
-                       coalesce_to: int | None = 64,
+                       coalesce_to: int | str | None = "auto",
                        with_status: bool = False) -> DataFrame:
     """Directory of per-document files -> documents contract.
 
@@ -467,8 +467,11 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
 
     ``coalesce_to``: binaryFile's 4 MB open-cost makes one task per small
     file (a 5000-doc corpus = 5000 tasks of microseconds each); coalesce —
-    shuffle-free — packs them. Pass None for large-dump corpora where one
-    file per task is the right parallel unit."""
+    shuffle-free — packs them. The default "auto" sizes the pack count to
+    the CLUSTER (2x total cores), never a fixed constant: a literal 64
+    would cap this CPU-bound Python extraction stage at 64 tasks and idle
+    a 1000-core cluster. Pass an int to pin it, or None for large-dump
+    corpora where one file per task is the right parallel unit."""
     import pandas as pd
 
     # load the DIRECTORY, not a glob: a glob expands to one load path per
@@ -481,6 +484,8 @@ def read_documents_dir(spark: SparkSession, doc_dir: str,
              .option("pathGlobFilter", "*.*")
              .load(doc_dir)
              .select("path", "content"))
+    if coalesce_to == "auto":
+        coalesce_to = spark.sparkContext.defaultParallelism * 2
     if coalesce_to is not None:
         files = files.coalesce(coalesce_to)
 

@@ -346,9 +346,17 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
     tool = None
     turn_idx = 0
     depth = 0    # <model> nesting: 1=Chat, 2=InstantMessage, 3=Attachment
+    # Open-element stack: elem.clear() empties a consumed subtree but the
+    # husk Element STAYS in its parent's child list, so a dump with 50M
+    # models would retain 50M empty Elements — O(file), not O(batch). At
+    # each consumption point we `del parent[:]`: processed siblings are
+    # all already consumed and upcoming ones haven't been attached yet,
+    # so the wipe is safe and keeps the tree truly bounded.
+    stack: list = []
     for event, elem in ET.iterparse(stream, events=("start", "end")):
         tag = local(elem.tag)
         if event == "start":
+            stack.append(elem)
             if tag == "model":
                 depth += 1
                 mtype = elem.get("type")
@@ -357,6 +365,8 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
                     tool = None
                     turn_idx = 0
             continue
+        stack.pop()
+        parent = stack[-1] if stack else None
         # end events
         if tag == "field" and depth == 1 and chat_id is not None \
                 and elem.get("name") == "Source":
@@ -395,10 +405,14 @@ def _parse_ufed_stream(stream, batch_rows: int = _BATCH_ROWS,
                                  f.get("Body"), tool, f.get("TimeStamp")))
                 turn_idx += 1
                 elem.clear()    # bound memory: message subtree is consumed
+                if parent is not None:
+                    del parent[:]   # drop consumed-message husks too
             elif depth == 1:
                 # every top-level model is consumed here — clear it so a
                 # dump with millions of non-chat models stays O(batch)
                 elem.clear()
+                if parent is not None:
+                    del parent[:]   # and unhook the husk from <modelType>
                 chat_id = None
             depth -= 1
             if len(rows) >= batch_rows:
@@ -426,40 +440,58 @@ def _salvage_batches(gen, path: str):
             return
 
 
+def _dump_paths(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """Dump-file PATHS as a DataFrame — the parallel unit for every UFED
+    reader. binaryFile with only ``path`` projected prunes the content
+    column entirely, so the scan is a listing, not an I/O pass; the task
+    then opens its path locally and iterparse STREAMS from disk. Shipping
+    content through the binaryFile row instead (the earlier shape) both
+    hard-fails past the 2 GB column limit and materializes each dump
+    2-3x in memory (JVM row + Arrow batch + Python bytes) before the
+    parser reads its first event — the opposite of the module's O(batch)
+    contract for multi-GB dumps. Assumes a task-visible evidence mount
+    (file:// paths), the same contract as the wiretap folder reader."""
+    # directory + pathGlobFilter, never a multi-file glob: globs past 32
+    # matches trigger a one-task-per-file distributed listing job (see
+    # doc_formats.read_documents_dir)
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.xml")
+            .load(xml_dir)
+            .select("path"))
+
+
+def _open_dump(path: str):
+    return open(path.replace("file:", ""), "rb")
+
+
 def read_ufed_xml(spark: SparkSession, xml_dir: str,
                   with_source: bool = False) -> DataFrame:
     """UFED XML directory -> transcripts DataFrame (the S1 operator).
 
-    One task per file via binaryFile; the per-file parse streams batches
-    through Arrow. Column pruning note: only (path, content) are read, and
-    binaryFile pushes the path filter down.
+    One task per file; the per-file parse streams batches through Arrow
+    while iterparse reads straight from disk (see _dump_paths).
 
     ``with_source=True`` appends a ``src_file`` column (dump basename) —
     the extraction-attribution the cross-extraction intersection needs."""
     import pandas as pd
 
-    # directory + pathGlobFilter, never a multi-file glob: globs past 32
-    # matches trigger a one-task-per-file distributed listing job (see
-    # doc_formats.read_documents_dir)
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.xml")
-             .load(xml_dir)
-             .select("path", "content"))
+    files = _dump_paths(spark, xml_dir)
 
     def parse(batches):
-        from io import BytesIO
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                gen = _parse_ufed_stream(BytesIO(bytes(content)))
-                for rows in _salvage_batches(gen, path):
-                    out = pd.DataFrame(
-                        rows, columns=["conv_id", "turn_idx", "role",
-                                       "text", "tool", "ts"])
-                    out["ts"] = pd.to_datetime(out["ts"], format="ISO8601")
-                    out["turn_idx"] = out["turn_idx"].astype("int32")
-                    if with_source:
-                        out["src_file"] = os.path.basename(path)
-                    yield out
+            for path in pdf["path"]:
+                with _open_dump(path) as fh:
+                    gen = _parse_ufed_stream(fh)
+                    for rows in _salvage_batches(gen, path):
+                        out = pd.DataFrame(
+                            rows, columns=["conv_id", "turn_idx", "role",
+                                           "text", "tool", "ts"])
+                        out["ts"] = pd.to_datetime(out["ts"],
+                                                   format="ISO8601")
+                        out["turn_idx"] = out["turn_idx"].astype("int32")
+                        if with_source:
+                            out["src_file"] = os.path.basename(path)
+                        yield out
 
     schema = (TRANSCRIPT_SCHEMA + ", src_file string" if with_source
               else TRANSCRIPT_SCHEMA)
@@ -485,25 +517,22 @@ def read_ufed_attachments(spark: SparkSession, xml_dir: str) -> DataFrame:
     (functions/exif.py), never in the Python worker."""
     import pandas as pd
 
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.xml")
-             .load(xml_dir)
-             .select("path", "content"))
+    files = _dump_paths(spark, xml_dir)
 
     cols = ["conv_id", "turn_idx", "filename", "mime", "size_bytes",
             "exif_dt", "gps_lat", "gps_lat_ref", "gps_lon", "gps_lon_ref"]
 
     def parse(batches):
-        from io import BytesIO
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                gen = _parse_ufed_stream(BytesIO(bytes(content)),
-                                         emit="attachments")
-                for rows in _salvage_batches(gen, path):
-                    out = pd.DataFrame(rows, columns=cols)
-                    out["turn_idx"] = out["turn_idx"].astype("int32")
-                    out["size_bytes"] = out["size_bytes"].astype("int64")
-                    yield out
+            for path in pdf["path"]:
+                with _open_dump(path) as fh:
+                    gen = _parse_ufed_stream(fh, emit="attachments")
+                    for rows in _salvage_batches(gen, path):
+                        out = pd.DataFrame(rows, columns=cols)
+                        out["turn_idx"] = out["turn_idx"].astype("int32")
+                        out["size_bytes"] = (out["size_bytes"]
+                                             .astype("int64"))
+                        yield out
 
     return files.mapInPandas(parse, ATTACHMENT_SCHEMA)
 
@@ -522,22 +551,18 @@ def read_ufed_models(spark: SparkSession, xml_dir: str) -> DataFrame:
     null fields — only top-level non-Chat models are writer inputs here."""
     import pandas as pd
 
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.xml")
-             .load(xml_dir)
-             .select("path", "content"))
+    files = _dump_paths(spark, xml_dir)
 
     cols = ["model_type", "model_id", "ts", "name", "phone"]
 
     def parse(batches):
-        from io import BytesIO
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                gen = _parse_ufed_stream(BytesIO(bytes(content)),
-                                         emit="models")
-                for rows in _salvage_batches(gen, path):
-                    out = pd.DataFrame(rows, columns=cols)
-                    out.insert(0, "src_file", os.path.basename(path))
-                    yield out
+            for path in pdf["path"]:
+                with _open_dump(path) as fh:
+                    gen = _parse_ufed_stream(fh, emit="models")
+                    for rows in _salvage_batches(gen, path):
+                        out = pd.DataFrame(rows, columns=cols)
+                        out.insert(0, "src_file", os.path.basename(path))
+                        yield out
 
     return files.mapInPandas(parse, MODEL_SCHEMA)

@@ -235,8 +235,8 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
             out = []
             for fp in pdf["folder_path"]:
                 meta: dict = {}
-                best_prio = 0
                 parts = interp = None
+                rtfs: list[str] = []
                 for entry in os.scandir(fp):
                     name = entry.name.lower()
                     if name.endswith(".sri"):
@@ -244,12 +244,16 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
                                   errors="ignore") as f:
                             meta = parse_sri(f.read())
                     elif name.endswith(".rtf"):
-                        prio = 2 if ".syn." in name else 1
-                        if prio > best_prio:
-                            with open(entry.path, encoding="utf-8",
-                                      errors="ignore") as f:
-                                parts, interp = parse_rtf(f.read())
-                            best_prio = prio
+                        rtfs.append(entry.path)
+                # winning FILENAME first, then parse exactly one rtf —
+                # decoys must lose without paying a full strip pass
+                best = max(rtfs, key=lambda p: (
+                    2 if ".syn." in os.path.basename(p).lower() else 1, p),
+                    default=None)
+                if best is not None:
+                    with open(best, encoding="utf-8",
+                              errors="ignore") as f:
+                        parts, interp = parse_rtf(f.read())
                 out.append((os.path.basename(fp),
                             meta.get("start_string"),
                             meta.get("input_line_id"),

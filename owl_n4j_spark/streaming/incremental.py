@@ -37,20 +37,29 @@ def read_transcript_stream(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
-def read_xml_dump_stream(spark: SparkSession, xml_dir: str) -> DataFrame:
+def read_xml_dump_stream(spark: SparkSession, xml_dir: str,
+                         max_files_per_trigger: int = 1000) -> DataFrame:
     """STREAMING XML model scan (SURVEY S1's literal reference shape —
     parser.py consumes dumps as they land): a binaryFile file-source
     stream over the dump directory, each new .xml file parsed by the SAME
     streaming chunked iterparse as the batch reader
     (sources/ufed_xml._parse_ufed_stream) into the transcripts contract.
     Checkpointed offsets mean a landed dump is parsed exactly once across
-    restarts; memory stays O(batch) per dump regardless of dump size."""
+    restarts. Only the PATH rides the stream row — the task opens its
+    dump locally so iterparse streams from disk (no 2 GB binary-column
+    cap, no whole-dump materialization; sources/ufed_xml._dump_paths).
+
+    ``max_files_per_trigger`` bounds each micro-batch, INCLUDING under
+    availableNow catch-up: a 100k-dump backlog commits checkpoint
+    progress every N dumps instead of running one giant all-or-nothing
+    batch whose failure would re-parse everything from zero."""
     import os
 
     import pandas as pd
 
     from owl_n4j_spark.sources.ufed_xml import (
         TRANSCRIPT_SCHEMA as XML_OUT_SCHEMA,
+        _open_dump,
         _parse_ufed_stream,
     )
 
@@ -58,23 +67,24 @@ def read_xml_dump_stream(spark: SparkSession, xml_dir: str) -> DataFrame:
              .schema("path string, modificationTime timestamp, "
                      "length long, content binary")
              .option("pathGlobFilter", "*.xml")
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
              .load(xml_dir)
-             .select("path", "content"))
+             .select("path"))
 
     def parse(batches):
-        from io import BytesIO
-
         from owl_n4j_spark.sources.ufed_xml import _salvage_batches
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                gen = _parse_ufed_stream(BytesIO(bytes(content)))
-                for rows in _salvage_batches(gen, path):
-                    out = pd.DataFrame(
-                        rows, columns=["conv_id", "turn_idx", "role",
-                                       "text", "tool", "ts"])
-                    out["ts"] = pd.to_datetime(out["ts"], format="ISO8601")
-                    out["turn_idx"] = out["turn_idx"].astype("int32")
-                    yield out
+            for path in pdf["path"]:
+                with _open_dump(path) as fh:
+                    gen = _parse_ufed_stream(fh)
+                    for rows in _salvage_batches(gen, path):
+                        out = pd.DataFrame(
+                            rows, columns=["conv_id", "turn_idx", "role",
+                                           "text", "tool", "ts"])
+                        out["ts"] = pd.to_datetime(out["ts"],
+                                                   format="ISO8601")
+                        out["turn_idx"] = out["turn_idx"].astype("int32")
+                        yield out
 
     return files.mapInPandas(parse, XML_OUT_SCHEMA)
 
@@ -99,7 +109,8 @@ def run_incremental_xml_ingest(
     q.awaitTermination()
 
 
-def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
+def read_wiretap_stream(spark: SparkSession, case_dir: str,
+                        max_files_per_trigger: int = 1000) -> DataFrame:
     """STREAMING wiretap session ingestion (S6's landing-folder shape —
     the reference re-scans evidence mounts for new session folders): a
     binaryFile file-source stream over `<case>/sessions/*/*.sri`. The tiny
@@ -108,7 +119,15 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
     while the task reads the folder's sibling rtf files locally (the same
     folder-local I/O as the batch reader; bytes never shuffle). Emits the
     transcripts contract, so the stream feeds the same incremental
-    extraction as transcript drops and XML dumps."""
+    extraction as transcript drops and XML dumps.
+
+    ``max_files_per_trigger`` bounds every micro-batch (availableNow
+    included), so a large-backlog catch-up commits progress per batch.
+    Scale note: the recursive listing is re-paid per trigger and the
+    file-source log grows one entry per session — for a case past ~100k
+    sessions, land sessions under date-bucketed roots (sessions/2024-06-*)
+    and run one stream per bucket with maxFileAge aging old entries out,
+    exactly how the reference shards its evidence mounts."""
     import os
 
     import pandas as pd
@@ -120,6 +139,7 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
                      "length long, content binary")
              .option("pathGlobFilter", "*.sri")
              .option("recursiveFileLookup", "true")
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
              .load(case_dir)
              .select("path", "content"))
 
@@ -130,20 +150,23 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str) -> DataFrame:
                 meta = parse_sri(bytes(content).decode("utf-8",
                                                        errors="ignore"))
                 folder = os.path.dirname(path.replace("file:", ""))
-                best_prio, interp = 0, None
+                interp = None
                 try:
                     entries = list(os.scandir(folder))
                 except OSError:
                     entries = []
-                for e in entries:
-                    name = e.name.lower()
-                    if name.endswith(".rtf"):
-                        prio = 2 if ".syn." in name else 1
-                        if prio > best_prio:
-                            with open(e.path, encoding="utf-8",
-                                      errors="ignore") as f:
-                                _, interp = parse_rtf(f.read())
-                            best_prio = prio
+                # winning FILENAME first, then parse exactly one rtf —
+                # parsing a decoy only to discard it wastes the hottest
+                # Python loop on ~10% of sessions
+                rtfs = [e.path for e in entries
+                        if e.name.lower().endswith(".rtf")]
+                best = max(rtfs, key=lambda p: (
+                    2 if ".syn." in os.path.basename(p).lower() else 1, p),
+                    default=None)
+                if best is not None:
+                    with open(best, encoding="utf-8",
+                              errors="ignore") as f:
+                        _, interp = parse_rtf(f.read())
                 text = ""
                 if interp:
                     m = [ln for ln in interp.splitlines()
