@@ -94,12 +94,17 @@ def run_incremental_xml_ingest(
     xml_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
 ) -> None:
     """Catch-up-then-stop XML dump ingestion: new dumps -> transcripts
-    parquet, availableNow + checkpoint (a restart never re-parses a
-    committed dump)."""
+    parquet, availableNow + checkpoint. A restart never re-parses a
+    COMMITTED dump — and because availableNow honors
+    ``max_files_per_trigger``, a big backlog commits every N dumps, so a
+    mid-catch-up failure loses at most one bounded batch, never the whole
+    backlog."""
     q = (
-        read_xml_dump_stream(spark, xml_dir).writeStream
+        read_xml_dump_stream(spark, xml_dir, max_files_per_trigger)
+        .writeStream
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)

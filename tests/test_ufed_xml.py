@@ -183,3 +183,24 @@ def test_malformed_dump_salvaged_not_fatal(spark, tmp_path):
     # every parsed row is a true row of the original corpus (no corruption)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert got.select(*cols).exceptAll(want.select(*cols)).isEmpty()
+
+
+def test_bounded_trigger_commits_backlog_in_batches(spark, tmp_path):
+    """availableNow catch-up honors max_files_per_trigger: a 4-dump
+    backlog with a 1-file trigger commits >= 4 checkpointed batches, so a
+    mid-catch-up failure loses one bounded batch, never the whole
+    backlog — and the output still matches the batch derivation."""
+    from owl_n4j_spark.streaming.incremental import run_incremental_xml_ingest
+
+    dumps = tmp_path / "dumps"
+    out = str(tmp_path / "out")
+    ck = tmp_path / "ck"
+    write_ufed_xml(spark, SF, str(dumps), n_files=4)
+    run_incremental_xml_ingest(spark, str(dumps), out, str(ck),
+                               max_files_per_trigger=1)
+    commits = [p for p in os.listdir(ck / "commits")
+               if not p.startswith(".")]
+    assert len(commits) >= 4
+    got = spark.read.parquet(out)
+    want = transcripts_from_events(spark, SF)
+    assert got.count() == want.count()
