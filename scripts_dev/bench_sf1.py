@@ -102,6 +102,39 @@ def main():
         n = fn(spark, DST).count()
         out[f"{name}_sec"] = round(time.time() - t, 1)
         out[f"{name}_rows"] = n
+
+    # --- ingestion at 10x: path-based dump parse + folder-unit scan ---
+    # 10x events -> ~1M turns across the same 8 dump files (each file 10x
+    # bigger: exercises the stream-from-disk parse, not just more tasks)
+    # and ~200k wiretap session folders (exercises the one-listing
+    # folder-unit distribution the recursive scan could not survive).
+    from owl_n4j_spark.sources.ufed_xml import (
+        read_ufed_models, read_ufed_xml, write_ufed_xml)
+    from owl_n4j_spark.sources.wiretap import (
+        read_wiretap_sessions, write_wiretap_folders)
+
+    xml_dir = os.path.join(DST, "xml_dumps")
+    if not os.path.isdir(xml_dir):
+        t = time.time()
+        write_ufed_xml(spark, DST, xml_dir)
+        out["xml_fixture_sec"] = round(time.time() - t, 1)
+    t = time.time()
+    out["xml_turns_rows"] = read_ufed_xml(spark, xml_dir).count()
+    out["xml_turns_sec"] = round(time.time() - t, 1)
+    t = time.time()
+    out["xml_models_rows"] = read_ufed_models(spark, xml_dir).count()
+    out["xml_models_sec"] = round(time.time() - t, 1)
+
+    wt_dir = os.path.join(DST, "wiretap")
+    if not os.path.isdir(os.path.join(wt_dir, "sessions")):
+        t = time.time()
+        write_wiretap_folders(spark, DST, wt_dir)
+        out["wiretap_fixture_sec"] = round(time.time() - t, 1)
+    t = time.time()
+    out["wiretap_rows"] = read_wiretap_sessions(spark, wt_dir).count()
+    out["wiretap_sec"] = round(time.time() - t, 1)
+
+    out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(out))
 
 
