@@ -155,9 +155,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for reg in (KG_ANALYTICS_REGISTRY, GRAPH_REGISTRY, GEO_REGISTRY,
                 TEXT_REGISTRY, RELATIONAL_REGISTRY):
         for name, (fn, _) in reg.items():
+            # A name collision would silently serve one registry's query
+            # against the OTHER registry's oracle — a coincidental shape
+            # match could then false-PASS a query nothing ever checked.
+            # Fail loudly instead (tests/test_entry_contract.py runs this
+            # under pytest, where asserts can't be optimized away).
+            assert name not in all_q, f"duplicate registry entry: {name}"
             all_q[name] = fn
     missing = [n for n in _GATE_R4 if n not in all_q]
-    assert not missing and len(_GATE_R4) == 50, (missing, len(_GATE_R4))
+    # uniqueness matters, not just length: a duplicated gate name would
+    # shrink the scored set to 49 and promote an arbitrary 50th
+    assert not missing and len(set(_GATE_R4)) == len(_GATE_R4) == 50, (
+        missing, len(_GATE_R4))
     q: dict[str, Callable] = {n: all_q[n] for n in _GATE_R4}
     for name, fn in all_q.items():
         if name not in q:

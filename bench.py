@@ -99,7 +99,20 @@ def main():
     ensure_wiretap(spark, sf_dir)
     queries["wiretap_fixture_generate"] = round(time.time() - t, 3)
 
-    for name, (fn, _sql) in REGISTRY.items():
+    # Materialization is count(): it times the full COMPUTE (joins, aggs,
+    # Python stages) while letting Catalyst drop the final orderBy — the
+    # serve/sort tail the driver pays when collecting is NOT in these
+    # numbers, deliberately, so the metric is comparable across rounds.
+    # The four flagship serving queries (hand-registered outside plan
+    # REGISTRYs) are timed too — a regression in the warehouse serve path
+    # must show up in the bench file.
+    import __spark_entry__ as entrymod
+    flagship = {n: entrymod.queries()[n]
+                for n in ("kg_triples", "kg_nodes", "kg_edges",
+                          "kg_manifest")}
+    timed = list(REGISTRY.items()) + [(n, (fn, None))
+                                      for n, fn in flagship.items()]
+    for name, (fn, _sql) in timed:
         t = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -1103,7 +1103,7 @@ def kg_degree_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("degree"), F.asc("key"))
     return (
-        deg.withColumn("rank", F.row_number().over(w))
+        deg.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_DEGREE_N)
         .select("rank", "key", "degree")
         .orderBy("rank")

@@ -47,7 +47,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.size(_tokens_col()).alias("n_ws_tokens"),
+            F.size(_tokens_col()).cast("bigint").alias("n_ws_tokens"),
             F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
              .cast("bigint").alias("n_re_tokens"),
             F.length("text").cast("bigint").alias("n_chars"),
@@ -646,7 +646,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q).crossJoin(c)
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("cos", dot / (qn * cn))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KNN_K)
         .select("qid", "rank", "nid", F.round("cos", 4).alias("cosine"))
         .orderBy("qid", "rank")
@@ -803,7 +803,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it one shuffle on (label, dim) — algebraic, map-side combined."""
     emb = load(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        emb.select("label",
+                   F.posexplode("embedding").alias("dim", "val"))
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "val")
         .groupBy("label", "dim")
         .agg(stable_round(F.sum(F.col("val").cast("double"))
                           / F.count("*"), 6).alias("centroid_val"),
@@ -1020,7 +1022,8 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(SEARCH_TERM) + 2 * SNIPPET_PAD))
     return (
         docs.filter(pos > 0)
-        .select("doc_id", pos.alias("match_pos"), snippet.alias("snippet"))
+        .select("doc_id", pos.cast("bigint").alias("match_pos"),
+                snippet.alias("snippet"))
         .orderBy("doc_id")
     )
 

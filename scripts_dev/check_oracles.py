@@ -51,6 +51,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)} — "
+              "nothing was checked")
+        sys.exit(2)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -82,12 +87,16 @@ def main():
         # ALL-PASS implies a driver ALL-PASS (r2 kg_location_tiles bug;
         # r3 verdict item 7 extends it beyond the int/float case).
         def _kind(s) -> str:
+            # ints/floats carry their WIDTH: Spark int32 (row_number,
+            # count over small frames) vs DuckDB BIGINT is a recorded
+            # driver-visible class — refuse it so the fix is a CAST in
+            # the query, never a silent local coercion
             if pd.api.types.is_bool_dtype(s):
                 return "bool"
             if pd.api.types.is_integer_dtype(s):
-                return "int"
+                return f"int{s.dtype.itemsize * 8}"
             if pd.api.types.is_float_dtype(s):
-                return "float"
+                return f"float{s.dtype.itemsize * 8}"
             if pd.api.types.is_datetime64_any_dtype(s):
                 return "datetime"
             return "object"
@@ -107,8 +116,14 @@ def main():
             status = f"row count: spark={len(g)} duck={len(w)}"
         else:
             try:
+                # rtol MUST be 0: the default 1e-5 RELATIVE tolerance
+                # would pass a ~1.7e9 epoch column that is hours off, or a
+                # 1e8 revenue sum off by hundreds — magnitudes the driver's
+                # exact typed-value hash would fail. atol only absorbs the
+                # round(6) representation residue.
                 pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                              check_exact=False, atol=1e-5)
+                                              check_exact=False,
+                                              atol=1e-5, rtol=0)
             except AssertionError as e:
                 status = "value mismatch: " + str(e).split("\n")[0]
                 diff = (g != w) & ~(g.isna() & w.isna())
