@@ -107,7 +107,8 @@ def main():
     # REGISTRYs) are timed too — a regression in the warehouse serve path
     # must show up in the bench file.
     import __spark_entry__ as entrymod
-    flagship = {n: entrymod.queries()[n]
+    entry_queries = entrymod.queries()
+    flagship = {n: entry_queries[n]
                 for n in ("kg_triples", "kg_nodes", "kg_edges",
                           "kg_manifest")}
     timed = list(REGISTRY.items()) + [(n, (fn, None))

@@ -28,6 +28,28 @@ from owl_n4j_spark.operators.materialize import (
     enforce_referential,
 )
 
+# Bump whenever ANY staged output's schema or semantics change (a column
+# added/renamed/retyped, an election rule changed, ...). A committed
+# warehouse stamped with a different version — or not stamped at all (older
+# engine, or a crash between the parquet commit and the stamp) — is
+# resume-invalid at every stage: the run recomputes instead of resuming a
+# shape this engine version never wrote. v2 = link_key on t03_mapping.
+STAGE_SCHEMA_VERSION = 2
+_STAMP_NAME = "_ENGINE_SCHEMA_VERSION"
+
+
+def _write_stage_stamp(path: str) -> None:
+    with open(os.path.join(path, _STAMP_NAME), "w") as f:
+        f.write(str(STAGE_SCHEMA_VERSION))
+
+
+def _stage_stamp_ok(path: str) -> bool:
+    try:
+        with open(os.path.join(path, _STAMP_NAME)) as f:
+            return f.read().strip() == str(STAGE_SCHEMA_VERSION)
+    except OSError:
+        return False
+
 
 def normalize_transcripts(transcripts: DataFrame) -> DataFrame:
     """Stage 1 — clean + dedup + stable order guarantee.
@@ -150,7 +172,7 @@ def run_pipeline(
     if new_rejections:
         resume = False
 
-    def staged(name: str, df_fn, required_cols=()) -> DataFrame:
+    def staged(name: str, df_fn) -> DataFrame:
         """Compute-or-resume one stage through the warehouse.
 
         Without a warehouse the stage output is localCheckpoint-ed: this both
@@ -165,16 +187,16 @@ def run_pipeline(
         if warehouse is None:
             return df_fn().localCheckpoint(eager=True)
         path = os.path.join(warehouse, name)
-        if resume and stage_is_committed(path):
-            prior = spark.read.parquet(path)
-            # Schema-evolution guard: a warehouse committed by an older
-            # engine version may lack columns this version projects (e.g.
-            # t03_mapping before link_key existed). Such a stage is
-            # resume-INVALID — recompute and rewrite rather than failing
-            # the run with an AnalysisException on the missing column.
-            if not required_cols or all(c in prior.columns
-                                        for c in required_cols):
-                return prior
+        # Schema-evolution guard, GENERIC across every stage: each commit
+        # is stamped with STAGE_SCHEMA_VERSION; a committed stage whose
+        # stamp is missing (older engine, or a crash between the parquet
+        # commit and the stamp) or mismatched is resume-INVALID —
+        # recompute and rewrite rather than failing the run later with an
+        # AnalysisException on a column the old schema lacks (or, worse,
+        # silently serving an old shape whose semantics changed). This is
+        # the whole-warehouse analog of Iceberg's schema-id check.
+        if resume and stage_is_committed(path) and _stage_stamp_ok(path):
+            return spark.read.parquet(path)
         # This stage is being (re)computed, so every committed stage after
         # it derives from a lineage that no longer exists — resuming one
         # would silently mix old and new semantics (e.g. a recomputed
@@ -183,6 +205,7 @@ def run_pipeline(
         resume = False
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
+        _write_stage_stamp(path)
         return spark.read.parquet(path)
 
     # ---- stage 1: normalize ------------------------------------------------
@@ -245,8 +268,7 @@ def run_pipeline(
         # ---- stage 5: canonicalize (CC over the same-as graph) ----------
         return canonical_mapping(link_map, sameas_raw)
 
-    final_mapping = staged("t03_mapping", _mapping,
-                           required_cols=("link_key",))
+    final_mapping = staged("t03_mapping", _mapping)
 
     # ---- remap to canonical keys ----------------------------------------
     mentions = staged(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from owl_n4j_spark.functions.numeric import stable_round
+from owl_n4j_spark.functions.numeric import sql_stable_round, stable_round
 from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.sources import events_transcripts as et
 from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
@@ -316,8 +316,9 @@ priced AS (
   FROM manifest
 )
 SELECT stage, in_rows, out_rows, unit_cost_micro, cost_micro,
-       floor((cost_micro * 100.0 / (SELECT SUM(cost_micro) FROM priced))
-             * 10000.0 + 0.5) / 10000.0 AS pct_of_total
+       {sql_stable_round(
+           'cost_micro * 100.0 / (SELECT SUM(cost_micro) FROM priced)', 4)}
+         AS pct_of_total
 FROM priced ORDER BY stage
 """
 
@@ -1351,8 +1352,10 @@ tiles AS (
   SELECT CAST(floor(lat / {TILE_DEG}) AS BIGINT) AS tile_lat,
          CAST(floor(lon / {TILE_DEG}) AS BIGINT) AS tile_lon,
          CAST(SUM(weight) AS BIGINT) AS n_visits,
-         floor((SUM(lat * weight) / SUM(weight)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_lat,
-         floor((SUM(lon * weight) / SUM(weight)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_lon
+         {sql_stable_round('SUM(lat * weight) / SUM(weight)', 6)}
+           AS centroid_lat,
+         {sql_stable_round('SUM(lon * weight) / SUM(weight)', 6)}
+           AS centroid_lon
   FROM visits JOIN geo USING (key)
   GROUP BY tile_lat, tile_lon
 ),

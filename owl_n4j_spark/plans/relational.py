@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from owl_n4j_spark.functions.numeric import stable_round
+from owl_n4j_spark.functions.numeric import sql_stable_round, stable_round
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,12 +48,12 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
-SQL_PRICING = """
+SQL_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2)                              AS sum_qty,
        round(SUM(l_extendedprice), 2)                         AS sum_base_price,
        round(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
-       floor((SUM(l_quantity) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       {sql_stable_round('SUM(l_quantity) / COUNT(*)', 6)} AS avg_qty,
        COUNT(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
@@ -273,10 +273,10 @@ def q_nation_customer_stats(spark, sf_dir):
     )
 
 
-SQL_NATION_CUSTOMER_STATS = """
+SQL_NATION_CUSTOMER_STATS = f"""
 SELECT n_name,
        COUNT(*) AS n_customers,
-       floor((SUM(c_acctbal) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_acctbal,
+       {sql_stable_round('SUM(c_acctbal) / COUNT(*)', 6)} AS avg_acctbal,
        round(MIN(c_acctbal), 2) AS min_acctbal,
        round(MAX(c_acctbal), 2) AS max_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -594,10 +594,10 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
-SQL_VALUE_HISTOGRAM = """
+SQL_VALUE_HISTOGRAM = f"""
 SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
        COUNT(*) AS n,
-       floor((SUM(value) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+       {sql_stable_round('SUM(value) / COUNT(*)', 6)} AS avg_value
 FROM events GROUP BY bucket ORDER BY bucket
 """
 

@@ -23,11 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from owl_n4j_spark.functions.numeric import stable_round
+from owl_n4j_spark.functions.numeric import sql_stable_round, stable_round
 from owl_n4j_spark.plans.relational import load
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Shared oracle-SQL rounding fragments — every query that rounds this
+# quantity interpolates the ONE rendering of the stable_round formula, so
+# a scale constant can never drift between copies (or vs the Spark side).
+_SQL_JACCARD = sql_stable_round("common / (sa.n_sh + sb.n_sh - common)", 6)
+_SQL_MEAN_TOK_LEN = sql_stable_round(
+    r"length(regexp_replace(text, '\s+', '', 'g')) / n_tok", 6)
 
 
 def _tokens_col():
@@ -96,9 +103,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_QUALITY = rf"""
 SELECT doc_id,
-       floor((n_stop / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
-       floor((length(regexp_replace(text, '\s+', '', 'g')) / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS mean_tok_len,
-       floor((0.5 * (1.0 - n_stop / n_tok) + 0.5 * least(n_tok / 100.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+       {sql_stable_round('n_stop / n_tok', 6)} AS stop_ratio,
+       {_SQL_MEAN_TOK_LEN} AS mean_tok_len,
+       {sql_stable_round('0.5 * (1.0 - n_stop / n_tok) + 0.5 * least(n_tok / 100.0, 1.0)', 6)} AS quality_score
 FROM (
   SELECT doc_id, text,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
@@ -434,11 +441,11 @@ pairs AS (
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, common,
-       floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       {_SQL_JACCARD} AS jaccard
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+WHERE {_SQL_JACCARD} >= 0.2
 ORDER BY doc_a, doc_b
 """
 
@@ -814,9 +821,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_CENTROIDS = """
+SQL_EMBEDDING_CENTROIDS = f"""
 SELECT label, i - 1 AS dim,
-       floor((SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val,
+       {sql_stable_round('SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)', 6)} AS centroid_val,
        COUNT(*) AS n_vecs
 FROM embeddings, range(1, 65) r(i)
 GROUP BY label, dim
@@ -850,11 +857,11 @@ def _centroids_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_CENTROIDS = """
+_DUCK_CENTROIDS = f"""
 cent AS (
   SELECT label, list(cv ORDER BY dim) AS centroid FROM (
     SELECT label, i - 1 AS dim,
-           floor((SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+           {sql_stable_round('SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*)', 6)} AS cv
     FROM embeddings, range(1, 65) r(i)
     GROUP BY label, dim
   ) GROUP BY label
@@ -1154,8 +1161,7 @@ dups AS (
   FROM pairs
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5)
-          / 1000000.0 >= 0.2
+  WHERE {_SQL_JACCARD} >= 0.2
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
@@ -1535,9 +1541,7 @@ WITH q AS (
            AS n_tok
   FROM (
     SELECT doc_id, text,
-           floor((0.5 * (1.0 - n_stop / n_tokd)
-                  + 0.5 * least(n_tokd / 100.0, 1.0)) * 1000000.0 + 0.5)
-             / 1000000.0 AS qs
+           {sql_stable_round('0.5 * (1.0 - n_stop / n_tokd) + 0.5 * least(n_tokd / 100.0, 1.0)', 6)} AS qs
     FROM (
       SELECT doc_id, text,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
@@ -1565,8 +1569,7 @@ dupb AS (
     GROUP BY doc_a, doc_b)
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE floor((common / (sa.n_sh + sb.n_sh - common)) * 1000000.0 + 0.5)
-          / 1000000.0 >= 0.2
+  WHERE {_SQL_JACCARD} >= 0.2
 ),
 neardup AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
 bench AS (SELECT doc_id AS bench_id, shingle FROM sh
@@ -1652,7 +1655,7 @@ WITH d AS (
 SELECT lang, target_pct,
        COUNT(*) AS n_total,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
-       floor((SUM(keep) * 100.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS achieved_pct
+       {sql_stable_round('SUM(keep) * 100.0 / COUNT(*)', 4)} AS achieved_pct
 FROM d
 GROUP BY lang, target_pct
 ORDER BY lang
@@ -1707,7 +1710,7 @@ o AS (
 SELECT lang, seq_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-       floor((SUM(n_tok) / {float(SEQ_LEN)}) * 10000.0 + 0.5) / 10000.0 AS fill_ratio
+       {sql_stable_round(f'SUM(n_tok) / {float(SEQ_LEN)!r}', 4)} AS fill_ratio
 FROM o
 GROUP BY lang, seq_id
 ORDER BY lang, seq_id

@@ -104,6 +104,21 @@ def rtf_to_text(s: str) -> str:
 _PARTICIPANTS = re.compile(r"PARTICIPANTS:\s*(.+?)(?:\n|$)", re.I)
 _PART_SPLIT = re.compile(r"\s+(?:AND|AKA)\s+|\s*,\s*", re.I)
 
+# The ONE synopsis rule, shared by the batch column expression
+# (regexp_extract) and the streaming Python path (synopsis_of) — Java and
+# Python both honor the inline (?m), so the two engines anchor identically:
+# the claim line is a line STARTING with "SYNOPSIS: ", never a mid-line
+# mention, and the first such line wins.
+SYNOPSIS_RE = r"(?m)^SYNOPSIS: (.*)"
+_SYNOPSIS = re.compile(SYNOPSIS_RE)
+
+
+def synopsis_of(interpretation: str | None) -> str:
+    """First line-anchored SYNOPSIS claim, '' when absent — the Python
+    twin of ``regexp_extract(interpretation, SYNOPSIS_RE, 1)``."""
+    m = _SYNOPSIS.search(interpretation or "")
+    return m.group(1) if m else ""
+
 
 def parse_rtf(raw: str) -> tuple[str, str]:
     """-> (participants comma-joined, full stripped interpretation text) —
@@ -129,6 +144,42 @@ def parse_sri(raw: str) -> dict:
     return out
 
 
+def parse_session_folder(folder_path: str) -> tuple:
+    """ONE session folder -> the raw session tuple
+    ``(folder_name, start_string, line_id, contact_id, session_length,
+    participants, interpretation)``.
+
+    This is THE per-folder parse — the batch reader
+    (``read_wiretap_sessions``) and the streaming reader
+    (``streaming.incremental.read_wiretap_stream``) both call it, so
+    batch/stream parity is structural: one rtf-preference rule
+    (*.syn.* over decoys, parsed exactly once), one .sri field set, one
+    stripper. Folder-local I/O only; nothing here touches Spark."""
+    meta: dict = {}
+    parts = interp = None
+    rtfs: list[str] = []
+    for entry in os.scandir(folder_path):
+        name = entry.name.lower()
+        if name.endswith(".sri"):
+            with open(entry.path, encoding="utf-8", errors="ignore") as f:
+                meta = parse_sri(f.read())
+        elif name.endswith(".rtf"):
+            rtfs.append(entry.path)
+    # winning FILENAME first, then parse exactly one rtf — decoys must
+    # lose without paying a full strip pass
+    best = max(rtfs, key=lambda p: (
+        2 if ".syn." in os.path.basename(p).lower() else 1, p),
+        default=None)
+    if best is not None:
+        with open(best, encoding="utf-8", errors="ignore") as f:
+            parts, interp = parse_rtf(f.read())
+    return (os.path.basename(folder_path),
+            meta.get("start_string"),
+            meta.get("input_line_id"),
+            meta.get("contact_id"),
+            meta.get("session_length"), parts, interp)
+
+
 def _fmt_line_id(digits: str) -> str:
     """NANP lines render the reference's 210-237-1858 style; non-NANP
     lines keep their country code ('+50370000039') so the key cascade
@@ -145,7 +196,16 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
     <out>/sessions/<event_id %08d>/{<id>.sri, <id>.syn.rtf}. Every 10th
     session also gets a decoy notes.rtf the parser must NOT prefer over
     the syn interpretation. Fixture scaffolding — counts, metadata, and
-    text are all relationally derivable from events + the person map."""
+    text are all relationally derivable from events + the person map.
+
+    WRITE ORDER CONTRACT: the .sri is written LAST (rtf files first) —
+    the standard marker-file protocol. ``read_wiretap_stream`` offset-
+    tracks .sri arrival and reads the sibling rtfs at process time; a
+    producer that wrote the marker first could have its session committed
+    (exactly-once!) before the interpretation landed, silently losing the
+    session's triples forever. With the marker last, .sri arrival means
+    the folder is complete; an .sri-only folder genuinely has no
+    interpretation (the reference allows that) and text='' is correct."""
     from owl_n4j_spark.sources.events_transcripts import persons_df
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -175,13 +235,14 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
             f"\\f0\\fs24 PARTICIPANTS: {a.full_name} AND {b.full_name}\\par\n"
             f"SYNOPSIS: {a.full_name} called {b.full_name} "
             "yesterday.\\par\n}")
-        with open(os.path.join(folder, f"{eid:08d}.sri"), "w") as f:
-            f.write(sri)
         with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
             f.write(rtf)
         if eid % 10 == 0:
             with open(os.path.join(folder, "notes.rtf"), "w") as f:
                 f.write("{\\rtf1\\ansi DRAFT - do not use\\par}")
+        # marker LAST — see the write-order contract in the docstring
+        with open(os.path.join(folder, f"{eid:08d}.sri"), "w") as f:
+            f.write(sri)
     return out_dir
 
 
@@ -232,34 +293,9 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
 
     def parse(batches):
         for pdf in batches:
-            out = []
-            for fp in pdf["folder_path"]:
-                meta: dict = {}
-                parts = interp = None
-                rtfs: list[str] = []
-                for entry in os.scandir(fp):
-                    name = entry.name.lower()
-                    if name.endswith(".sri"):
-                        with open(entry.path, encoding="utf-8",
-                                  errors="ignore") as f:
-                            meta = parse_sri(f.read())
-                    elif name.endswith(".rtf"):
-                        rtfs.append(entry.path)
-                # winning FILENAME first, then parse exactly one rtf —
-                # decoys must lose without paying a full strip pass
-                best = max(rtfs, key=lambda p: (
-                    2 if ".syn." in os.path.basename(p).lower() else 1, p),
-                    default=None)
-                if best is not None:
-                    with open(best, encoding="utf-8",
-                              errors="ignore") as f:
-                        parts, interp = parse_rtf(f.read())
-                out.append((os.path.basename(fp),
-                            meta.get("start_string"),
-                            meta.get("input_line_id"),
-                            meta.get("contact_id"),
-                            meta.get("session_length"), parts, interp))
-            yield pd.DataFrame(out, columns=cols)
+            yield pd.DataFrame(
+                [parse_session_folder(fp) for fp in pdf["folder_path"]],
+                columns=cols)
 
     rows = fdf.mapInPandas(parse, _SESSION_SCHEMA)
 
@@ -298,8 +334,8 @@ def wiretap_transcripts(spark: SparkSession, case_dir: str) -> DataFrame:
         F.concat(F.lit("wt-"), F.col("folder_name")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("line_id").alias("role"),
-        # the extractable claim line of the interpretation
-        F.regexp_extract("interpretation", r"SYNOPSIS: (.*)", 1)
-         .alias("text"),
+        # the extractable claim line of the interpretation — SYNOPSIS_RE,
+        # the same anchored rule the streaming path applies in Python
+        F.regexp_extract("interpretation", SYNOPSIS_RE, 1).alias("text"),
         F.lit("Wiretap").alias("tool"),
         F.col("time_of_call").alias("ts"))

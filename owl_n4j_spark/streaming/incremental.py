@@ -137,7 +137,10 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str,
 
     import pandas as pd
 
-    from owl_n4j_spark.sources.wiretap import parse_rtf, parse_sri
+    from owl_n4j_spark.sources.wiretap import (
+        parse_session_folder,
+        synopsis_of,
+    )
 
     files = (spark.readStream.format("binaryFile")
              .schema("path string, modificationTime timestamp, "
@@ -146,43 +149,25 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str,
              .option("recursiveFileLookup", "true")
              .option("maxFilesPerTrigger", str(max_files_per_trigger))
              .load(case_dir)
-             .select("path", "content"))
+             .select("path"))
 
     def parse(batches):
         for pdf in batches:
             out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                meta = parse_sri(bytes(content).decode("utf-8",
-                                                       errors="ignore"))
+            for path in pdf["path"]:
                 folder = os.path.dirname(path.replace("file:", ""))
-                interp = None
-                try:
-                    entries = list(os.scandir(folder))
-                except OSError:
-                    entries = []
-                # winning FILENAME first, then parse exactly one rtf —
-                # parsing a decoy only to discard it wastes the hottest
-                # Python loop on ~10% of sessions
-                rtfs = [e.path for e in entries
-                        if e.name.lower().endswith(".rtf")]
-                best = max(rtfs, key=lambda p: (
-                    2 if ".syn." in os.path.basename(p).lower() else 1, p),
-                    default=None)
-                if best is not None:
-                    with open(best, encoding="utf-8",
-                              errors="ignore") as f:
-                        _, interp = parse_rtf(f.read())
-                text = ""
-                if interp:
-                    m = [ln for ln in interp.splitlines()
-                         if ln.startswith("SYNOPSIS: ")]
-                    # no-SYNOPSIS sessions yield '' exactly like the batch
-                    # path's regexp_extract miss — the two ingestion paths
-                    # must extract identical triples for the same session
-                    text = m[0][len("SYNOPSIS: "):] if m else ""
-                out.append((f"wt-{os.path.basename(folder)}", 0,
-                            meta.get("input_line_id"), text, "Wiretap",
-                            (meta.get("start_string") or "")[:19] or None))
+                # THE shared per-folder parse (sources.wiretap) — the
+                # batch reader runs the identical function, so the two
+                # ingestion paths extract identical triples for the same
+                # session by construction. Re-listing the folder here is
+                # safe because the producer writes the .sri marker LAST
+                # (write_wiretap_folders' write-order contract): its
+                # arrival means every sibling rtf is already on disk.
+                (fname, start_string, line_id, _contact, _length,
+                 _parts, interp) = parse_session_folder(folder)
+                out.append((f"wt-{fname}", 0, line_id,
+                            synopsis_of(interp), "Wiretap",
+                            (start_string or "")[:19] or None))
             df = pd.DataFrame(out, columns=["conv_id", "turn_idx", "role",
                                             "text", "tool", "ts"])
             df["ts"] = pd.to_datetime(df["ts"],

@@ -63,9 +63,10 @@ def test_resume_ignores_uncommitted_partial_stage(spark, tmp_path):
 
 def test_stale_stage_invalidates_downstream(spark, tmp_path):
     """Mixed-lineage guard: when a committed stage is resume-INVALID (here
-    an old-engine t03_mapping lacking link_key), every stage AFTER it must
-    recompute too — resuming downstream parquet built from the old mapping
-    would silently mix two lineages in one result."""
+    an old-engine t03_mapping — no schema-version stamp, and lacking
+    link_key), every stage AFTER it must recompute too — resuming
+    downstream parquet built from the old mapping would silently mix two
+    lineages in one result."""
     import pyspark.sql.functions as F
 
     wh = str(tmp_path / "wh3")
@@ -101,3 +102,32 @@ def test_stale_stage_invalidates_downstream(spark, tmp_path):
     assert _nodes_set(r2) == want_nodes
     assert got_edges == want_edges          # sentinel gone: t07 recomputed
     assert not any(s == "phone-POISON" for s, _, _ in got_edges)
+
+
+def test_version_stamp_mismatch_invalidates_any_stage(spark, tmp_path):
+    """The schema-evolution guard is GENERIC: a committed stage whose
+    _ENGINE_SCHEMA_VERSION stamp differs from the current engine's (any
+    stage, not just t03_mapping, and even when its columns happen to look
+    right) is recomputed — never resumed."""
+    from owl_n4j_spark.pipeline import _STAMP_NAME
+
+    wh = str(tmp_path / "wh4")
+    corpus = generate_corpus_pandas(12, seed=33)
+    tr = spark.createDataFrame(corpus["transcripts"])
+    ad = spark.createDataFrame(corpus["alias_dict"])
+    r1 = run_pipeline(spark, tr, alias_dict=ad, warehouse=wh,
+                      with_manifest=False)
+    want = _nodes_set(r1)
+
+    def mtime(stage):
+        return os.path.getmtime(os.path.join(wh, stage, "_SUCCESS"))
+    before = mtime("t05_triples")
+    with open(os.path.join(wh, "t05_triples", _STAMP_NAME), "w") as f:
+        f.write("1")        # a version this engine never wrote
+
+    r2 = run_pipeline(spark, tr, alias_dict=ad, warehouse=wh,
+                      with_manifest=False)
+    assert _nodes_set(r2) == want
+    assert mtime("t05_triples") != before, "stale-stamped stage was resumed"
+    with open(os.path.join(wh, "t05_triples", _STAMP_NAME)) as f:
+        assert f.read().strip() != "1"      # re-stamped at current version

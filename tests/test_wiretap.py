@@ -125,6 +125,55 @@ def test_wiretap_empty_case(spark, tmp_path):
     assert wiretap_transcripts(spark, str(tmp_path)).count() == 0
 
 
+def test_synopsis_line_anchored_both_paths(spark, tmp_path):
+    """The SYNOPSIS rule is line-anchored and SHARED: a mid-line
+    'SYNOPSIS:' mention never wins over the real claim line, and batch and
+    stream extract the identical text (they run the same
+    parse_session_folder + SYNOPSIS_RE rule)."""
+    folder = tmp_path / "sessions" / "00000002"
+    folder.mkdir(parents=True)
+    (folder / "00000002.syn.rtf").write_text(
+        "{\\rtf1\\ansi PARTICIPANTS: A AND B\\par "
+        "Call re SYNOPSIS: see below\\par "
+        "SYNOPSIS: A called B yesterday.\\par}")
+    (folder / "00000002.sri").write_text(
+        "version=2\ninput_line_id=210-555-0001\n"
+        "start_string=2024-01-01 11:00:00 CST\nsession_length=60\n")
+    batch = wiretap_transcripts(spark, str(tmp_path)).collect()
+    assert len(batch) == 1
+    assert batch[0].text == "A called B yesterday."
+
+    from owl_n4j_spark.streaming.incremental import read_wiretap_stream
+    q = (read_wiretap_stream(spark, str(tmp_path))
+         .writeStream.format("memory").queryName("wt_anchor")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srows = spark.sql("SELECT * FROM wt_anchor").collect()
+    assert len(srows) == 1 and srows[0].text == batch[0].text
+
+
+def test_fixture_writes_sri_marker_last(spark, tmp_path):
+    """write_wiretap_folders honors the marker protocol: the offset-
+    tracked .sri lands AFTER every sibling rtf, so a stream trigger that
+    sees the .sri can never commit a session whose interpretation hasn't
+    landed yet (exactly-once would make that loss permanent)."""
+    import os as _os
+
+    from owl_n4j_spark.sources.wiretap import write_wiretap_folders
+
+    write_wiretap_folders(spark, SF, str(tmp_path))
+    checked = 0
+    for folder in _os.scandir(tmp_path / "sessions"):
+        files = list(_os.scandir(folder.path))
+        sri = [f for f in files if f.name.endswith(".sri")]
+        rtfs = [f for f in files if f.name.endswith(".rtf")]
+        assert sri and rtfs
+        assert sri[0].stat().st_mtime_ns >= max(
+            r.stat().st_mtime_ns for r in rtfs)
+        checked += 1
+    assert checked > 0
+
+
 def test_no_synopsis_batch_stream_parity(spark, tmp_path):
     """A session whose interpretation has no SYNOPSIS line yields text=''
     on BOTH ingestion paths — batch and stream must extract identical
