@@ -44,7 +44,9 @@ from owl_n4j_spark.sources import events_transcripts as et
 # Rotated OUT (all green in CORRECTNESS_r03, shapes unchanged): the
 # curation/text suite, geo suite, and big graph queries — every one stays
 # exact-oracle-checked locally by scripts_dev/check_oracles.py (all sfs)
-# and tests/test_oracle_parity.py.
+# and tests/test_oracle_parity.py. Late-r4 swap: q_wiretap_manifest (new
+# S6 reconciliation statuses, degenerate-session fixture classes) in,
+# q_distinct_approx (r2-green, shape unchanged) out.
 _GATE_R4 = [
     # KG pipeline core (pipeline.py changed: rejected-pairs recovery,
     # resume schema guard) + new/changed serving entries
@@ -52,7 +54,7 @@ _GATE_R4 = [
     "kg_rag_retrieve", "kg_rag_answer", "kg_cost_ledger",
     # new/changed ingest surface
     "q_xml_reconcile", "q_wiretap_ingest", "kg_wiretap_triples",
-    "q_xml_ingest",
+    "q_wiretap_manifest", "q_xml_ingest",
     "q_xml_attachments", "q_extraction_intersection", "q_case_scan",
     "q_doc_ingest_formats", "q_doc_ingest_manifest",
     # never-driver-checked relational + changed pagerank
@@ -69,7 +71,7 @@ _GATE_R4 = [
     "q_graph_2hop", "q_lpa_communities", "q_graph_degree",
     "q_graph_triangles",
     # relational/window distinct-shape block (r2-green)
-    "q_rollup_revenue", "q_distinct_approx", "q_json_props",
+    "q_rollup_revenue", "q_json_props",
     "q_track_thinning", "q_pricing_summary", "q_top_customers",
     "q_region_revenue", "q_order_priority_pivot", "q_customer_first_order",
     "q_monthly_revenue", "q_customers_no_orders",

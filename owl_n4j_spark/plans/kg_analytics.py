@@ -812,11 +812,20 @@ base AS (
          printf('FMI=%d,%d,%d', event_id % 1000, event_id * 7 % 1000,
                 event_id * 13 % 10000) AS contact_id,
          CAST(event_id % 900 + 30 AS INT) AS session_length,
-         a.full_name || ',' || b.full_name AS participants,
-         'PARTICIPANTS: ' || a.full_name || ' AND ' || b.full_name
-           || chr(10) || 'SYNOPSIS: ' || a.full_name || ' called '
-           || b.full_name || ' yesterday.' AS interpretation,
-         a.full_name AS a_name, b.full_name AS b_name
+         -- degenerate-session classes mirror write_wiretap_folders:
+         -- eid%41: no syn rtf (even eid -> decoy fallback, odd -> no rtf
+         -- at all); eid%89: interpretation without a SYNOPSIS line
+         CASE WHEN event_id % 41 = 0 THEN
+                CASE WHEN event_id % 2 = 0 THEN '' END
+              ELSE a.full_name || ',' || b.full_name END AS participants,
+         CASE WHEN event_id % 41 = 0 THEN
+                CASE WHEN event_id % 2 = 0 THEN 'DRAFT - do not use' END
+              WHEN event_id % 89 = 0 THEN
+                'PARTICIPANTS: ' || a.full_name || ' AND ' || b.full_name
+              ELSE
+                'PARTICIPANTS: ' || a.full_name || ' AND ' || b.full_name
+                || chr(10) || 'SYNOPSIS: ' || a.full_name || ' called '
+                || b.full_name || ' yesterday.' END AS interpretation
   FROM (SELECT event_id, ts, uid,
                substring({et._phone_key_sql('uid')}, 7) AS digits,
                right(substring({et._phone_key_sql('uid')}, 7), 10) AS d10
@@ -826,15 +835,16 @@ base AS (
 )
 SELECT folder_name, time_of_call, line_id, contact_id, session_length,
        participants, interpretation,
-       '=== WIRETAP RECORDING ===' || chr(10) ||
-       'Folder: ' || folder_name || chr(10) ||
-       'Input Line ID: ' || line_id || chr(10) ||
-       'Session Length: ' || CAST(session_length AS VARCHAR)
-         || ' seconds' || chr(10) ||
-       '=== PARTICIPANTS ===' || chr(10) || a_name || chr(10) || b_name
-         || chr(10) ||
-       '=== PROSECUTOR INTERPRETATION ===' || chr(10) || interpretation
-         AS doc_text
+       concat_ws(chr(10),
+         '=== WIRETAP RECORDING ===',
+         'Folder: ' || folder_name,
+         'Input Line ID: ' || line_id,
+         'Session Length: ' || CAST(session_length AS VARCHAR)
+           || ' seconds',
+         '=== PARTICIPANTS ===',
+         replace(participants, ',', chr(10)),
+         '=== PROSECUTOR INTERPRETATION ===',
+         interpretation) AS doc_text
 FROM base ORDER BY folder_name
 """
 
@@ -866,7 +876,11 @@ SQL_KG_WIRETAP_TRIPLES = f"""
 WITH {_BASE_CTE},
 v AS (
   SELECT printf('%08d', event_id) AS folder,
-         CAST(substring(conv_id, 6) AS BIGINT) AS uid
+         CAST(substring(conv_id, 6) AS BIGINT) AS uid,
+         -- degenerate sessions (write_wiretap_folders: eid%41 no syn
+         -- rtf, eid%89 no SYNOPSIS line) have no extractable claim —
+         -- the role-derived legs still emit, the CALLED leg must not
+         (event_id % 41 != 0 AND event_id % 89 != 0) AS has_synopsis
   FROM t WHERE event_type = 'view'
 ),
 legs AS (
@@ -876,7 +890,7 @@ legs AS (
   UNION ALL
   SELECT {et._phone_key_sql('uid')}, 'CALLED',
          {et._phone_key_sql('uid + 1')}, 'wt-' || folder
-  FROM v
+  FROM v WHERE has_synopsis
   UNION ALL
   SELECT {et._phone_key_sql('uid')}, 'PARTICIPATED_IN',
          'chat-wt-' || folder, 'wt-' || folder
@@ -885,6 +899,93 @@ legs AS (
 SELECT subj_key, pred, obj_key, conv_id, CAST(0 AS INT) AS turn_idx
 FROM legs ORDER BY subj_key, pred, obj_key, conv_id
 """
+
+
+def q_wiretap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiretap ingest reconciliation (K5 discipline on the S6 path — the
+    same parsed-vs-usable accounting audio_processor.py keeps per folder):
+    every parsed session classified from its PARSED fields, so transcriber
+    backlog is a manifest row, never a silent text='' downstream:
+    - no_interpretation: no rtf delivered at all,
+    - no_participants: only a fallback rtf without a PARTICIPANTS line
+      (the decoy-fallback case),
+    - no_synopsis: interpretation delivered but carries no extractable
+      SYNOPSIS claim line,
+    - ok: fully usable.
+    O(sessions) map-side classification -> one tiny hash agg; the pct is
+    a 4-row window, not a second pass over the data."""
+    from pyspark.sql.window import Window as W
+
+    from owl_n4j_spark.sources.wiretap import (
+        SYNOPSIS_RE,
+        read_wiretap_sessions,
+    )
+
+    s = read_wiretap_sessions(spark, ensure_wiretap(spark, sf_dir))
+    status = (
+        F.when(F.col("interpretation").isNull(), "no_interpretation")
+        .when(F.col("participants") == "", "no_participants")
+        .when(F.regexp_extract("interpretation", SYNOPSIS_RE, 1) == "",
+              "no_synopsis")
+        .otherwise("ok"))
+    g = (s.groupBy(status.alias("status"))
+         .agg(F.count("*").alias("n_sessions")))
+    total = F.sum("n_sessions").over(W.partitionBy())
+    return (g.select(
+        "status", "n_sessions",
+        stable_round(F.col("n_sessions") * 100.0 / total, 4)
+        .alias("pct_of_sessions"))
+        .orderBy("status"))
+
+
+SQL_Q_WIRETAP_MANIFEST = f"""
+WITH {_BASE_CTE},
+v AS (SELECT event_id FROM t WHERE event_type = 'view'),
+cls AS (
+  SELECT CASE WHEN event_id % 41 = 0 AND event_id % 2 != 0
+                THEN 'no_interpretation'
+              WHEN event_id % 41 = 0 THEN 'no_participants'
+              WHEN event_id % 89 = 0 THEN 'no_synopsis'
+              ELSE 'ok' END AS status
+  FROM v
+),
+g AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM cls GROUP BY status)
+SELECT status, n_sessions,
+       {sql_stable_round(
+           'n_sessions * 100.0 / (SELECT SUM(n_sessions) FROM g)', 4)}
+         AS pct_of_sessions
+FROM g ORDER BY status
+"""
+
+
+def wiretap_reconcile_report(spark: SparkSession, sf_dir: str):
+    """Manifest rows + the LOUD operational warnings (the xml path's
+    reconcile-report discipline applied to S6): undelivered or unusable
+    interpretations are surfaced on stderr with counts — a transcription
+    backlog is an operational problem, not a quiet empty-text column.
+    Returns (rows, warnings)."""
+    import sys
+
+    rows = q_wiretap_manifest(spark, sf_dir).collect()   # O(statuses)
+    by = {r.status: r.n_sessions for r in rows}
+    warnings = []
+    missing = by.get("no_interpretation", 0) + by.get("no_participants", 0)
+    if missing:
+        warnings.append(
+            f"WARNING: {missing:,} wiretap sessions have NO usable "
+            f"interpretation ({by.get('no_interpretation', 0):,} without "
+            f"any rtf, {by.get('no_participants', 0):,} fallback-rtf only)"
+            " — transcription backlog; these sessions contribute zero"
+            " claims until re-delivered.")
+    if by.get("no_synopsis"):
+        warnings.append(
+            f"WARNING: {by['no_synopsis']:,} wiretap interpretations carry "
+            "no SYNOPSIS claim line — delivered but nothing extractable; "
+            "check the transcriber template.")
+    for w in warnings:
+        print(w, file=sys.stderr)
+    return rows, warnings
 
 
 # ---------------------------------------------------------------------------
@@ -2052,6 +2153,7 @@ KG_ANALYTICS_REGISTRY = {
     "q_xml_reconcile": (q_xml_reconcile, SQL_Q_XML_RECONCILE),
     "q_wiretap_ingest": (q_wiretap_ingest, SQL_Q_WIRETAP_INGEST),
     "kg_wiretap_triples": (kg_wiretap_triples, SQL_KG_WIRETAP_TRIPLES),
+    "q_wiretap_manifest": (q_wiretap_manifest, SQL_Q_WIRETAP_MANIFEST),
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),

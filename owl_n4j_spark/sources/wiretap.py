@@ -198,6 +198,18 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
     the syn interpretation. Fixture scaffolding — counts, metadata, and
     text are all relationally derivable from events + the person map.
 
+    DEGENERATE SESSIONS (deterministic, so the reconciliation manifest has
+    an exact oracle — the same real-world classes
+    audio_processor.py:130-260 tolerates):
+    - eid % 41 == 0: the transcriber never delivered — NO .syn.rtf. Half
+      of those (even eid) still carry the decoy notes.rtf, so the parser's
+      fallback-to-any-rtf path is exercised (status no_participants);
+      odd eid folders have no rtf at all (status no_interpretation).
+    - eid % 89 == 0 (and not % 41): interpretation delivered WITHOUT a
+      SYNOPSIS claim line (status no_synopsis — parsed fine, nothing
+      extractable).
+    Every degenerate class is present at sf0.001 and up.
+
     WRITE ORDER CONTRACT: the .sri is written LAST (rtf files first) —
     the standard marker-file protocol. ``read_wiretap_stream`` offset-
     tracks .sri arrival and reads the sibling rtfs at process time; a
@@ -229,15 +241,18 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
             "time_zone=CST\n"
             f"contact_id=FMI={eid % 1000},{eid * 7 % 1000},"
             f"{eid * 13 % 10000}\n")
+        synopsis_line = (f"SYNOPSIS: {a.full_name} called {b.full_name} "
+                         "yesterday.\\par\n")
         rtf = (
             "{\\rtf1\\ansi\\deff0\n"
             "{\\fonttbl{\\f0\\fnil Times New Roman;}}\n"
             f"\\f0\\fs24 PARTICIPANTS: {a.full_name} AND {b.full_name}\\par\n"
-            f"SYNOPSIS: {a.full_name} called {b.full_name} "
-            "yesterday.\\par\n}")
-        with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
-            f.write(rtf)
-        if eid % 10 == 0:
+            + ("" if eid % 89 == 0 else synopsis_line) + "}")
+        skip_syn = eid % 41 == 0         # transcriber never delivered
+        if not skip_syn:
+            with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
+                f.write(rtf)
+        if eid % 10 == 0 or (skip_syn and eid % 2 == 0):
             with open(os.path.join(folder, "notes.rtf"), "w") as f:
                 f.write("{\\rtf1\\ansi DRAFT - do not use\\par}")
         # marker LAST — see the write-order contract in the docstring
@@ -335,7 +350,12 @@ def wiretap_transcripts(spark: SparkSession, case_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("line_id").alias("role"),
         # the extractable claim line of the interpretation — SYNOPSIS_RE,
-        # the same anchored rule the streaming path applies in Python
-        F.regexp_extract("interpretation", SYNOPSIS_RE, 1).alias("text"),
+        # the same anchored rule the streaming path applies in Python.
+        # Coalesce: a no-rtf session has interpretation NULL, and
+        # regexp_extract(NULL) is NULL where the stream's synopsis_of(None)
+        # is '' — both paths must hand extraction the identical ''.
+        F.coalesce(
+            F.regexp_extract("interpretation", SYNOPSIS_RE, 1),
+            F.lit("")).alias("text"),
         F.lit("Wiretap").alias("tool"),
         F.col("time_of_call").alias("ts"))

@@ -37,11 +37,22 @@ def test_syn_rtf_preferred_over_decoy(spark):
     ensure_wiretap(spark, SF)
     rows = q_wiretap_ingest(spark, SF).collect()
     assert rows, "fixture produced no sessions"
-    decoyed = [r for r in rows if int(r.folder_name) % 10 == 0]
+    # eid%41 sessions have no syn rtf AT ALL (degenerate classes) — the
+    # preference rule is only observable where both syn and decoy exist
+    decoyed = [r for r in rows
+               if int(r.folder_name) % 10 == 0
+               and int(r.folder_name) % 41 != 0]
     assert decoyed, "no decoy-bearing sessions at this sf"
     for r in decoyed:
         assert "DRAFT" not in r.interpretation
         assert r.interpretation.startswith("PARTICIPANTS: ")
+    # and where ONLY the decoy exists, the parser falls back to it
+    fallback = [r for r in rows
+                if int(r.folder_name) % 41 == 0
+                and int(r.folder_name) % 2 == 0]
+    for r in fallback:
+        assert r.interpretation == "DRAFT - do not use"
+        assert r.participants == ""
 
 
 def test_wiretap_feeds_pipeline(spark):
@@ -52,13 +63,20 @@ def test_wiretap_feeds_pipeline(spark):
     case_dir = ensure_wiretap(spark, SF)
     tr = wiretap_transcripts(spark, case_dir)
     n_sessions = tr.count()
+    # degenerate sessions (no rtf / no SYNOPSIS line) carry text='' and
+    # must yield no CALLED claim — but still flow through the pipeline
+    n_extractable = tr.filter(F.col("text") != "").count()
+    assert 0 < n_extractable < n_sessions
     res = run_pipeline(spark, tr, alias_dict=et.alias_dict_df(spark),
                        with_manifest=False)
     called = res["triples"].filter(F.col("pred") == "CALLED")
-    # one CALLED claim per session, subjects resolved to canonical keys
-    assert called.count() == n_sessions
+    # one CALLED claim per extractable session, resolved to canonical keys
+    assert called.count() == n_extractable
     assert (called.filter(F.col("subj_key").startswith("phone-")).count()
-            == n_sessions)
+            == n_extractable)
+    # the role-derived legs emit for EVERY session, degenerate or not
+    sent = res["triples"].filter(F.col("pred") == "SENT_MESSAGE")
+    assert sent.count() == n_sessions
 
 
 def test_streaming_wiretap_incremental_and_restart_safe(spark, tmp_path):
@@ -162,16 +180,46 @@ def test_fixture_writes_sri_marker_last(spark, tmp_path):
     from owl_n4j_spark.sources.wiretap import write_wiretap_folders
 
     write_wiretap_folders(spark, SF, str(tmp_path))
-    checked = 0
+    checked = bare = 0
     for folder in _os.scandir(tmp_path / "sessions"):
         files = list(_os.scandir(folder.path))
         sri = [f for f in files if f.name.endswith(".sri")]
         rtfs = [f for f in files if f.name.endswith(".rtf")]
-        assert sri and rtfs
-        assert sri[0].stat().st_mtime_ns >= max(
-            r.stat().st_mtime_ns for r in rtfs)
-        checked += 1
-    assert checked > 0
+        assert sri, "every session folder must end with its .sri marker"
+        if rtfs:
+            assert sri[0].stat().st_mtime_ns >= max(
+                r.stat().st_mtime_ns for r in rtfs)
+            checked += 1
+        else:
+            # the no-interpretation degenerate class: marker only — the
+            # stream commits it with text='', which is correct
+            assert int(folder.name) % 41 == 0 and int(folder.name) % 2
+            bare += 1
+    assert checked > 0 and bare > 0
+
+
+def test_wiretap_manifest_statuses_and_loud_report(spark, capsys):
+    """The S6 reconciliation manifest surfaces every degenerate-session
+    class as a counted status row (never a silent empty-text column), and
+    the reconcile report warns LOUDLY about undelivered/unusable
+    interpretations — the xml path's operational discipline applied to
+    wiretaps."""
+    from owl_n4j_spark.plans.kg_analytics import (
+        q_wiretap_manifest,
+        wiretap_reconcile_report,
+    )
+
+    rows = {r.status: r for r in q_wiretap_manifest(spark, SF).collect()}
+    assert set(rows) == {"ok", "no_interpretation", "no_participants",
+                         "no_synopsis"}
+    assert rows["ok"].n_sessions > sum(
+        r.n_sessions for s, r in rows.items() if s != "ok")
+    assert abs(sum(r.pct_of_sessions for r in rows.values()) - 100.0) < 0.01
+
+    got, warnings = wiretap_reconcile_report(spark, SF)
+    err = capsys.readouterr().err
+    assert len(warnings) == 2
+    assert "NO usable interpretation" in err and "no SYNOPSIS" in err
 
 
 def test_no_synopsis_batch_stream_parity(spark, tmp_path):
