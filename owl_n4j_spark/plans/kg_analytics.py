@@ -769,6 +769,27 @@ def ensure_wiretap(spark: SparkSession, sf_dir: str) -> str:
     return case_dir
 
 
+_WIRETAP_SESS_CACHE: dict = {}
+
+
+def _wiretap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed wiretap sessions, parsed ONCE per (session, sf): the folder
+    scan + rtf strip is S6's expensive leg and three queries consume it
+    (q_wiretap_ingest, q_wiretap_manifest, kg_wiretap_triples) — the
+    parse output is committed to a parquet warehouse and served from
+    there, the same discipline as kg_result's stage cache."""
+    from owl_n4j_spark.sources.wiretap import read_wiretap_sessions
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _WIRETAP_SESS_CACHE:
+        path = warehouse_dir(spark, sf_dir, "wiretap_parsed")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (read_wiretap_sessions(spark, ensure_wiretap(spark, sf_dir))
+             .write.mode("overwrite").parquet(path))
+        _WIRETAP_SESS_CACHE[key] = spark.read.parquet(path)
+    return _WIRETAP_SESS_CACHE[key]
+
+
 def q_wiretap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wiretap folder parse (SURVEY S6 —
     ingestion/scripts/audio_processor.py:130-260 .sri/.rtf parse, :393-455
@@ -779,9 +800,7 @@ def q_wiretap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rtfs — and composed into the ingest document. Every output column is
     relationally derivable from events + the person map, so the whole
     parse chain has an exact oracle."""
-    from owl_n4j_spark.sources.wiretap import read_wiretap_sessions
-
-    return (read_wiretap_sessions(spark, ensure_wiretap(spark, sf_dir))
+    return (_wiretap_sessions(spark, sf_dir)
             .select("folder_name", "time_of_call", "line_id", "contact_id",
                     "session_length", "participants", "interpretation",
                     "doc_text")
@@ -862,9 +881,9 @@ def kg_wiretap_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the E.164 cascade; counterparty from the interpretation text via
     the alias dictionary), so the full chain has an exact oracle — not
     just a row-count parity test."""
-    from owl_n4j_spark.sources.wiretap import wiretap_transcripts
+    from owl_n4j_spark.sources.wiretap import transcripts_from_sessions
 
-    tr = wiretap_transcripts(spark, ensure_wiretap(spark, sf_dir))
+    tr = transcripts_from_sessions(_wiretap_sessions(spark, sf_dir))
     res = run_pipeline(spark, tr, alias_dict=et.alias_dict_df(spark),
                        with_manifest=False)
     return (res["triples"]
@@ -907,26 +926,24 @@ def q_wiretap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     every parsed session classified from its PARSED fields, so transcriber
     backlog is a manifest row, never a silent text='' downstream:
     - no_interpretation: no rtf delivered at all,
-    - no_participants: only a fallback rtf without a PARTICIPANTS line
-      (the decoy-fallback case),
+    - no_participants: nothing extractable AND no PARTICIPANTS line —
+      the decoy/fallback-rtf shape (a claim-bearing rtf that merely
+      omits PARTICIPANTS still extracts, so it classifies ok),
     - no_synopsis: interpretation delivered but carries no extractable
       SYNOPSIS claim line,
-    - ok: fully usable.
+    - ok: extractable.
     O(sessions) map-side classification -> one tiny hash agg; the pct is
     a 4-row window, not a second pass over the data."""
     from pyspark.sql.window import Window as W
 
-    from owl_n4j_spark.sources.wiretap import (
-        SYNOPSIS_RE,
-        read_wiretap_sessions,
-    )
+    from owl_n4j_spark.sources.wiretap import SYNOPSIS_RE
 
-    s = read_wiretap_sessions(spark, ensure_wiretap(spark, sf_dir))
+    s = _wiretap_sessions(spark, sf_dir)
+    no_syn = F.regexp_extract("interpretation", SYNOPSIS_RE, 1) == ""
     status = (
         F.when(F.col("interpretation").isNull(), "no_interpretation")
-        .when(F.col("participants") == "", "no_participants")
-        .when(F.regexp_extract("interpretation", SYNOPSIS_RE, 1) == "",
-              "no_synopsis")
+        .when(no_syn & (F.col("participants") == ""), "no_participants")
+        .when(no_syn, "no_synopsis")
         .otherwise("ok"))
     g = (s.groupBy(status.alias("status"))
          .agg(F.count("*").alias("n_sessions")))
@@ -975,9 +992,10 @@ def wiretap_reconcile_report(spark: SparkSession, sf_dir: str):
         warnings.append(
             f"WARNING: {missing:,} wiretap sessions have NO usable "
             f"interpretation ({by.get('no_interpretation', 0):,} without "
-            f"any rtf, {by.get('no_participants', 0):,} fallback-rtf only)"
-            " — transcription backlog; these sessions contribute zero"
-            " claims until re-delivered.")
+            f"any rtf, {by.get('no_participants', 0):,} with neither a "
+            "claim line nor a PARTICIPANTS line — the decoy/fallback-rtf "
+            "shape) — transcription backlog; these sessions contribute "
+            "zero claims until re-delivered.")
     if by.get("no_synopsis"):
         warnings.append(
             f"WARNING: {by['no_synopsis']:,} wiretap interpretations carry "

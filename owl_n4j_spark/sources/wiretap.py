@@ -344,7 +344,13 @@ def wiretap_transcripts(spark: SparkSession, case_dir: str) -> DataFrame:
     role, text, tool, ts), so wiretap evidence flows through the exact
     same pipeline as chats/XML dumps (the reference likewise converges on
     one ingest document shape before extraction)."""
-    s = read_wiretap_sessions(spark, case_dir)
+    return transcripts_from_sessions(read_wiretap_sessions(spark, case_dir))
+
+
+def transcripts_from_sessions(s: DataFrame) -> DataFrame:
+    """Transcripts contract over ALREADY-PARSED session rows — callers
+    holding a cached/warehoused parse (plans.kg_analytics._wiretap_sessions)
+    skip re-scanning the case folders."""
     return s.select(
         F.concat(F.lit("wt-"), F.col("folder_name")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),

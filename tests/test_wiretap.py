@@ -50,6 +50,7 @@ def test_syn_rtf_preferred_over_decoy(spark):
     fallback = [r for r in rows
                 if int(r.folder_name) % 41 == 0
                 and int(r.folder_name) % 2 == 0]
+    assert fallback, "no decoy-fallback sessions at this sf"
     for r in fallback:
         assert r.interpretation == "DRAFT - do not use"
         assert r.participants == ""
