@@ -105,11 +105,19 @@ _PARTICIPANTS = re.compile(r"PARTICIPANTS:\s*(.+?)(?:\n|$)", re.I)
 _PART_SPLIT = re.compile(r"\s+(?:AND|AKA)\s+|\s*,\s*", re.I)
 
 # The ONE synopsis rule, shared by the batch column expression
-# (regexp_extract) and the streaming Python path (synopsis_of) — Java and
-# Python both honor the inline (?m), so the two engines anchor identically:
-# the claim line is a line STARTING with "SYNOPSIS: ", never a mid-line
-# mention, and the first such line wins.
-SYNOPSIS_RE = r"(?m)^SYNOPSIS: (.*)"
+# (regexp_extract) and the streaming Python path (synopsis_of): the claim
+# line is a line STARTING with "SYNOPSIS: ", never a mid-line mention,
+# and the first (leftmost) such line wins. Deliberately NO (?m)^ and NO
+# dot: Java counts \r, NEL (U+0085) and the unicode line/paragraph
+# separators (U+2028/U+2029) as line terminators for both, while Python
+# counts only \n — so the multiline idiom extracts DIFFERENT claims from
+# the same CRLF/NEL-bearing string depending on which engine runs it
+# (caught by the adversarial cross-engine test). Explicit terminator
+# classes + a string-start alternative parse identically in both engines
+# on every input, reachable or not. The \uXXXX escapes stay literal in
+# this raw string — both re and java.util.regex resolve them in-pattern.
+_LINE_TERM = r"\n\r\u0085\u2028\u2029"
+SYNOPSIS_RE = rf"(?:^|[{_LINE_TERM}])SYNOPSIS: ([^{_LINE_TERM}]*)"
 _SYNOPSIS = re.compile(SYNOPSIS_RE)
 
 

@@ -223,6 +223,59 @@ def test_wiretap_manifest_statuses_and_loud_report(spark, capsys):
     assert "NO usable interpretation" in err and "no SYNOPSIS" in err
 
 
+def test_synopsis_rule_cross_engine_adversarial(spark):
+    """SYNOPSIS_RE is evaluated by TWO regex engines — Java (batch
+    regexp_extract) and Python re (streaming synopsis_of). One generated
+    adversarial corpus through both in one job: mid-line mentions, CRLF,
+    leading spaces, multiple claim lines, unicode, empty/None — the
+    engines must agree byte-for-byte on every case or the two ingestion
+    paths silently extract different claims."""
+    import random
+
+    from owl_n4j_spark.sources.wiretap import SYNOPSIS_RE, synopsis_of
+
+    rng = random.Random(411)
+    frags = ["SYNOPSIS: ", "SYNOPSIS:", "synopsis: ", " SYNOPSIS: ",
+             "re SYNOPSIS: see", "claim A.", "café €", "B\tC",
+             "\n", "\r\n", "", "PARTICIPANTS: A AND B", "S: x",
+             "SYNOPSIS:  double space", "xSYNOPSIS: tail"]
+    corpus = [None, "", "SYNOPSIS: ", "\nSYNOPSIS: at line 2",
+              "SYNOPSIS: first\nSYNOPSIS: second"]
+    corpus += ["".join(rng.choices(frags, k=rng.randint(1, 8)))
+               for _ in range(300)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)],
+                               "i int, interp string")
+    got = {r.i: r.x for r in df.select(
+        "i", F.coalesce(F.regexp_extract("interp", SYNOPSIS_RE, 1),
+                        F.lit("")).alias("x")).collect()}
+    for i, s in enumerate(corpus):
+        assert got[i] == synopsis_of(s), (i, repr(s), got[i],
+                                          synopsis_of(s))
+
+
+def test_rtf_stripper_never_raises_fuzz():
+    """rtf_to_text over adversarial control-word soup: truncated escapes,
+    unbalanced groups, nested destinations, orphan hex — must never raise
+    and must be deterministic (same input -> same text), because a
+    malformed interpretation file is a quarantine case, never a crashed
+    ingest task."""
+    import random
+
+    from owl_n4j_spark.sources.wiretap import parse_rtf, rtf_to_text
+
+    rng = random.Random(89)
+    atoms = ["{", "}", "\\par", "\\'e9", "\\'", "\\'zz", "\\u233?",
+             "\\u-100x", "\\u8364", "\\fonttbl", "{\\fonttbl", "\\\\",
+             "\\{", "\\}", "text", " ", "\\rtf1", "\\ansi", "é", "\n",
+             "{\\*\\gen", "\\x", "\\"]
+    for _ in range(500):
+        s = "".join(rng.choices(atoms, k=rng.randint(0, 24)))
+        a = rtf_to_text(s)
+        assert isinstance(a, str) and a == rtf_to_text(s)
+        parts, text = parse_rtf(s)
+        assert isinstance(parts, str) and isinstance(text, str)
+
+
 def test_no_synopsis_batch_stream_parity(spark, tmp_path):
     """A session whose interpretation has no SYNOPSIS line yields text=''
     on BOTH ingestion paths — batch and stream must extract identical
