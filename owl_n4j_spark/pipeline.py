@@ -39,8 +39,16 @@ _STAMP_NAME = "_ENGINE_SCHEMA_VERSION"
 
 
 def _write_stage_stamp(path: str) -> None:
-    with open(os.path.join(path, _STAMP_NAME), "w") as f:
-        f.write(str(STAGE_SCHEMA_VERSION))
+    # A non-local warehouse URI (hdfs://, s3a://) isn't reachable via
+    # local open(); the stamp is simply not written, _stage_stamp_ok
+    # stays False, and such warehouses never resume — the same semantics
+    # stage_is_committed's os.path.exists already gives them. Crashing a
+    # run whose parquet write just SUCCEEDED over a stamp would be worse.
+    try:
+        with open(os.path.join(path, _STAMP_NAME), "w") as f:
+            f.write(str(STAGE_SCHEMA_VERSION))
+    except OSError:
+        pass
 
 
 def _stage_stamp_ok(path: str) -> bool:

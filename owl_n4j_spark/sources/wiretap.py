@@ -152,35 +152,54 @@ def parse_sri(raw: str) -> dict:
     return out
 
 
+def rtf_of_folder(folder_path: str) -> tuple[str | None, str | None]:
+    """Elect and parse ONE rtf from a session folder -> (participants,
+    interpretation), (None, None) when the folder holds none — or has
+    vanished/become unreadable (OSError-tolerant: an archived-mid-batch
+    folder is a no-interpretation session, never a crashed task that
+    poisons a streaming micro-batch forever).
+
+    The election is deterministic: *.syn.* beats decoys, filename max
+    breaks ties — and exactly one rtf pays the strip pass."""
+    try:
+        rtfs = [e.path for e in os.scandir(folder_path)
+                if e.name.lower().endswith(".rtf")]
+        best = max(rtfs, key=lambda p: (
+            2 if ".syn." in os.path.basename(p).lower() else 1, p),
+            default=None)
+        if best is None:
+            return None, None
+        with open(best, encoding="utf-8", errors="ignore") as f:
+            return parse_rtf(f.read())
+    except OSError:
+        return None, None
+
+
 def parse_session_folder(folder_path: str) -> tuple:
     """ONE session folder -> the raw session tuple
     ``(folder_name, start_string, line_id, contact_id, session_length,
     participants, interpretation)``.
 
-    This is THE per-folder parse — the batch reader
-    (``read_wiretap_sessions``) and the streaming reader
-    (``streaming.incremental.read_wiretap_stream``) both call it, so
-    batch/stream parity is structural: one rtf-preference rule
-    (*.syn.* over decoys, parsed exactly once), one .sri field set, one
-    stripper. Folder-local I/O only; nothing here touches Spark."""
+    This is THE per-folder parse for the batch reader; the streaming
+    reader shares ``rtf_of_folder`` + ``parse_sri`` + ``synopsis_of`` (it
+    parses the offset-tracked .sri's streamed bytes instead of
+    re-reading it from disk), so batch/stream parity is structural: one
+    rtf-preference rule, one .sri field set, one stripper. Multi-.sri
+    folders (a re-delivered session dropping 0001v2.sri next to
+    0001.sri) elect the filename-MAX .sri — latest re-delivery wins,
+    deterministically, independent of os.scandir order. OSError-tolerant
+    like ``rtf_of_folder``. Folder-local I/O only; nothing here touches
+    Spark."""
     meta: dict = {}
-    parts = interp = None
-    rtfs: list[str] = []
-    for entry in os.scandir(folder_path):
-        name = entry.name.lower()
-        if name.endswith(".sri"):
-            with open(entry.path, encoding="utf-8", errors="ignore") as f:
+    try:
+        sris = [e.path for e in os.scandir(folder_path)
+                if e.name.lower().endswith(".sri")]
+        if sris:
+            with open(max(sris), encoding="utf-8", errors="ignore") as f:
                 meta = parse_sri(f.read())
-        elif name.endswith(".rtf"):
-            rtfs.append(entry.path)
-    # winning FILENAME first, then parse exactly one rtf — decoys must
-    # lose without paying a full strip pass
-    best = max(rtfs, key=lambda p: (
-        2 if ".syn." in os.path.basename(p).lower() else 1, p),
-        default=None)
-    if best is not None:
-        with open(best, encoding="utf-8", errors="ignore") as f:
-            parts, interp = parse_rtf(f.read())
+    except OSError:
+        pass
+    parts, interp = rtf_of_folder(folder_path)
     return (os.path.basename(folder_path),
             meta.get("start_string"),
             meta.get("input_line_id"),

@@ -138,7 +138,8 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str,
     import pandas as pd
 
     from owl_n4j_spark.sources.wiretap import (
-        parse_session_folder,
+        parse_sri,
+        rtf_of_folder,
         synopsis_of,
     )
 
@@ -149,25 +150,32 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str,
              .option("recursiveFileLookup", "true")
              .option("maxFilesPerTrigger", str(max_files_per_trigger))
              .load(case_dir)
-             .select("path"))
+             .select("path", "content"))
 
     def parse(batches):
         for pdf in batches:
             out = []
-            for path in pdf["path"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # Metadata comes from the offset-tracked .sri's STREAMED
+                # bytes — the exactly-once unit IS this file, so its
+                # fields are deterministic even if the folder gains a
+                # re-delivered sibling .sri later (the batch reader
+                # elects filename-max across them). The rtf election +
+                # stripper + SYNOPSIS rule are the same sources.wiretap
+                # functions the batch parse runs; re-listing the folder
+                # for rtfs is safe because the producer writes the .sri
+                # marker LAST (write_wiretap_folders' write-order
+                # contract), and rtf_of_folder tolerates a folder that
+                # was archived between listing and processing (a
+                # no-interpretation session, never a poison-pill task).
+                meta = parse_sri(bytes(content).decode("utf-8",
+                                                       errors="ignore"))
                 folder = os.path.dirname(path.replace("file:", ""))
-                # THE shared per-folder parse (sources.wiretap) — the
-                # batch reader runs the identical function, so the two
-                # ingestion paths extract identical triples for the same
-                # session by construction. Re-listing the folder here is
-                # safe because the producer writes the .sri marker LAST
-                # (write_wiretap_folders' write-order contract): its
-                # arrival means every sibling rtf is already on disk.
-                (fname, start_string, line_id, _contact, _length,
-                 _parts, interp) = parse_session_folder(folder)
-                out.append((f"wt-{fname}", 0, line_id,
+                _parts, interp = rtf_of_folder(folder)
+                out.append((f"wt-{os.path.basename(folder)}", 0,
+                            meta.get("input_line_id"),
                             synopsis_of(interp), "Wiretap",
-                            (start_string or "")[:19] or None))
+                            (meta.get("start_string") or "")[:19] or None))
             df = pd.DataFrame(out, columns=["conv_id", "turn_idx", "role",
                                             "text", "tool", "ts"])
             df["ts"] = pd.to_datetime(df["ts"],

@@ -104,6 +104,18 @@ def test_stale_stage_invalidates_downstream(spark, tmp_path):
     assert not any(s == "phone-POISON" for s, _, _ in got_edges)
 
 
+def test_stage_stamp_write_never_raises():
+    """A warehouse the driver cannot open() locally (an hdfs:// or s3a://
+    URI) skips the stamp instead of crashing a run whose parquet write
+    just succeeded; the unstamped stage is simply never resumed — the
+    exact semantics non-local warehouses had before stamping existed."""
+    from owl_n4j_spark.pipeline import _stage_stamp_ok, _write_stage_stamp
+
+    bogus = "hdfs://namenode/case_wh/t01_normalized"
+    _write_stage_stamp(bogus)          # must not raise
+    assert _stage_stamp_ok(bogus) is False
+
+
 def test_version_stamp_mismatch_invalidates_any_stage(spark, tmp_path):
     """The schema-evolution guard is GENERIC: a committed stage whose
     _ENGINE_SCHEMA_VERSION stamp differs from the current engine's (any

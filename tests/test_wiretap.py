@@ -276,6 +276,33 @@ def test_rtf_stripper_never_raises_fuzz():
         assert isinstance(parts, str) and isinstance(text, str)
 
 
+def test_parse_tolerates_vanished_folder_and_elects_sri(tmp_path):
+    """Two ingestion-robustness contracts: (a) a session folder that was
+    archived between listing and processing parses as a no-interpretation
+    session — OSError never escapes into a (streaming) task, where the
+    uncommitted offset would make it a permanent poison pill; (b) a
+    re-delivered session (two .sri files) elects the filename-MAX .sri
+    deterministically, independent of os.scandir order."""
+    from owl_n4j_spark.sources.wiretap import (
+        parse_session_folder,
+        rtf_of_folder,
+    )
+
+    gone = str(tmp_path / "never-existed")
+    assert rtf_of_folder(gone) == (None, None)
+    t = parse_session_folder(gone)
+    assert t[0] == "never-existed" and t[1:] == (None,) * 6
+
+    redeliv = tmp_path / "sessions" / "00000009"
+    redeliv.mkdir(parents=True)
+    (redeliv / "00000009.sri").write_text(
+        "input_line_id=210-555-0001\nstart_string=2024-01-01 10:00:00\n")
+    (redeliv / "00000009v2.sri").write_text(
+        "input_line_id=210-555-0002\nstart_string=2024-02-02 10:00:00\n")
+    t = parse_session_folder(str(redeliv))
+    assert t[2] == "210-555-0002", "filename-max .sri (re-delivery) wins"
+
+
 def test_no_synopsis_batch_stream_parity(spark, tmp_path):
     """A session whose interpretation has no SYNOPSIS line yields text=''
     on BOTH ingestion paths — batch and stream must extract identical
