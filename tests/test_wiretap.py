@@ -147,8 +147,8 @@ def test_wiretap_empty_case(spark, tmp_path):
 def test_synopsis_line_anchored_both_paths(spark, tmp_path):
     """The SYNOPSIS rule is line-anchored and SHARED: a mid-line
     'SYNOPSIS:' mention never wins over the real claim line, and batch and
-    stream extract the identical text (they run the same
-    parse_session_folder + SYNOPSIS_RE rule)."""
+    stream extract the identical text (they share the rtf_of_folder
+    election + SYNOPSIS_RE rule)."""
     folder = tmp_path / "sessions" / "00000002"
     folder.mkdir(parents=True)
     (folder / "00000002.syn.rtf").write_text(
