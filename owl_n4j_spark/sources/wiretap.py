@@ -152,27 +152,34 @@ def parse_sri(raw: str) -> dict:
     return out
 
 
+def _parse_best_rtf(rtfs: list[str]) -> tuple[str | None, str | None]:
+    """Deterministic rtf election + parse: *.syn.* beats decoys, filename
+    max breaks ties, exactly one rtf pays the strip pass. (None, None)
+    when there is none or it vanished before the open (OSError)."""
+    best = max(rtfs, key=lambda p: (
+        2 if ".syn." in os.path.basename(p).lower() else 1, p),
+        default=None)
+    if best is None:
+        return None, None
+    try:
+        with open(best, encoding="utf-8", errors="ignore") as f:
+            return parse_rtf(f.read())
+    except OSError:
+        return None, None
+
+
 def rtf_of_folder(folder_path: str) -> tuple[str | None, str | None]:
     """Elect and parse ONE rtf from a session folder -> (participants,
     interpretation), (None, None) when the folder holds none — or has
     vanished/become unreadable (OSError-tolerant: an archived-mid-batch
     folder is a no-interpretation session, never a crashed task that
-    poisons a streaming micro-batch forever).
-
-    The election is deterministic: *.syn.* beats decoys, filename max
-    breaks ties — and exactly one rtf pays the strip pass."""
+    poisons a streaming micro-batch forever)."""
     try:
         rtfs = [e.path for e in os.scandir(folder_path)
                 if e.name.lower().endswith(".rtf")]
-        best = max(rtfs, key=lambda p: (
-            2 if ".syn." in os.path.basename(p).lower() else 1, p),
-            default=None)
-        if best is None:
-            return None, None
-        with open(best, encoding="utf-8", errors="ignore") as f:
-            return parse_rtf(f.read())
     except OSError:
         return None, None
+    return _parse_best_rtf(rtfs)
 
 
 def parse_session_folder(folder_path: str) -> tuple:
@@ -191,15 +198,23 @@ def parse_session_folder(folder_path: str) -> tuple:
     like ``rtf_of_folder``. Folder-local I/O only; nothing here touches
     Spark."""
     meta: dict = {}
+    sris: list[str] = []
+    rtfs: list[str] = []
     try:
-        sris = [e.path for e in os.scandir(folder_path)
-                if e.name.lower().endswith(".sri")]
+        # ONE directory listing feeds both elections — this loop runs
+        # once per session in the hottest ingest path
+        for e in os.scandir(folder_path):
+            name = e.name.lower()
+            if name.endswith(".sri"):
+                sris.append(e.path)
+            elif name.endswith(".rtf"):
+                rtfs.append(e.path)
         if sris:
             with open(max(sris), encoding="utf-8", errors="ignore") as f:
                 meta = parse_sri(f.read())
     except OSError:
         pass
-    parts, interp = rtf_of_folder(folder_path)
+    parts, interp = _parse_best_rtf(rtfs)
     return (os.path.basename(folder_path),
             meta.get("start_string"),
             meta.get("input_line_id"),
