@@ -62,9 +62,29 @@ def _spin_canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _clean_stale_warehouses() -> int:
+    """Remove /tmp/owl_* fixture/warehouse trees owned by DEAD pids.
+    They are per-process caches (never shared), and dozens of stale
+    20k-directory session trees measurably skew this bench's I/O-bound
+    rows via dentry/inode pressure (observed 2-3x on fixture writes).
+    Live processes' trees are untouched."""
+    import glob
+    import re
+    import shutil
+
+    removed = 0
+    for d in glob.glob("/tmp/owl_*_*_*"):
+        m = re.match(r"/tmp/owl_.+?_(\d+)_[0-9a-f]{12}$", d)
+        if m and not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    stale_cleaned = _clean_stale_warehouses()
     spark = get_spark(master=f"local[{cpus}]", app_name="owl-n4j-bench",
                       shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,6 +162,7 @@ def main():
         "canary_spin_sec_end": _spin_canary(),
         "loadavg_1m_start": load_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "stale_warehouses_cleaned": stale_cleaned,
     }))
 
 
