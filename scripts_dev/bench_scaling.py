@@ -14,7 +14,7 @@ not. At 16 threads the full demand (~32) fits the host.
 
 Measures (a) the triple-extraction stage alone (the BASELINE.json metric)
 and (b) the full pipeline (extract -> link -> canonicalize -> materialize).
-Writes BENCH/BASELINE.md.
+Writes BENCH/scaling_latest.md (merge rows into BENCH/BASELINE.md by hand).
 
 Usage: python scripts_dev/bench_scaling.py [n_convs] [n_lo] [n_hi]
 """
@@ -109,12 +109,16 @@ def main():
     ratio = N_HI / N_LO
     eff_full = (r32["full_tps"] / r8["full_tps"]) / ratio
     if FULL_ONLY:
-        print(f"full eff={eff_full:.3f} (full_only mode: BENCH/BASELINE.md not rewritten)")
+        print(f"full eff={eff_full:.3f} (full_only mode: no file written)")
         return
     eff_extract = (r32["extract_tps"] / r8["extract_tps"]) / ratio
 
+    # BENCH/BASELINE.md is the hand-curated multi-run evidence file — a raw
+    # rewrite once destroyed 300+ lines of accumulated runs. The fresh
+    # report goes to its own file; merge the new run's ROW into the
+    # BASELINE.md table by hand (with its loadavg context).
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    with open("/root/repo/BENCH/scaling_latest.md", "w") as f:
         f.write(f"""# BENCH — throughput + two-parallelism scaling evidence
 
 North-rule metric: triple-extraction throughput (turns/sec) and scaling
@@ -153,7 +157,14 @@ below extraction scaling).
 Reproduce: `python scripts_dev/bench_scaling.py {N_CONVS} {N_LO} {N_HI}`
 """)
     print(f"extract eff={eff_extract:.3f} full eff={eff_full:.3f}")
-    print("wrote BENCH/BASELINE.md")
+    print(json.dumps({"extract_lo_tps": r8["extract_tps"],
+                      "extract_hi_tps": r32["extract_tps"],
+                      "full_lo_tps": r8["full_tps"],
+                      "full_hi_tps": r32["full_tps"],
+                      "eff_extract": round(eff_extract, 3),
+                      "eff_full": round(eff_full, 3),
+                      "loadavg_1m": round(os.getloadavg()[0], 2)}))
+    print("wrote BENCH/scaling_latest.md (merge the row into BENCH/BASELINE.md)")
 
 
 if __name__ == "__main__":
