@@ -133,11 +133,33 @@ def main():
                           "kg_manifest")}
     timed = list(REGISTRY.items()) + [(n, (fn, None))
                                       for n, fn in flagship.items()]
+    # Mid-run contention telemetry: the start/end canary pair misses an
+    # external load spike that lands in the MIDDLE of the run (observed:
+    # a mid-run spike inflated one suite 5-17x while both canaries read
+    # idle). Sample loadavg after every query; report the max and which
+    # query it peaked on, so any inflated row in this file can be read
+    # against the load that surrounded it.
+    # loadavg counts our own executor threads, so a mini canary spin
+    # (~30 ms idle; runs between queries while Spark is quiescent) is the
+    # cleaner external-steal signal: it can only inflate if OTHER tenants
+    # hold the cores. ~3 s total overhead across the suite.
+    load_max, load_max_at = 0.0, ""
+    spin_max, spin_max_at = 0.0, ""
     for name, (fn, _sql) in timed:
         t = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         queries[name] = round(time.time() - t, 3)
+        la = os.getloadavg()[0]
+        if la > load_max:
+            load_max, load_max_at = la, name
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(1_000_000):
+            x += i
+        spin = time.perf_counter() - t0
+        if spin > spin_max:
+            spin_max, spin_max_at = spin, name
 
     total = round(time.time() - t_all, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -162,6 +184,12 @@ def main():
         "canary_spin_sec_end": _spin_canary(),
         "loadavg_1m_start": load_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "loadavg_1m_max": round(load_max, 2),
+        "loadavg_1m_max_at": load_max_at,
+        # mini-spin between queries: ~0.03-0.05 s idle; a multiple of that
+        # at some query means external steal INSIDE the run window
+        "canary_mini_spin_max_sec": round(spin_max, 3),
+        "canary_mini_spin_max_at": spin_max_at,
         "stale_warehouses_cleaned": stale_cleaned,
     }))
 
