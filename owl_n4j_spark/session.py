@@ -51,7 +51,12 @@ def get_spark(
         # small); AQE will also convert to broadcast at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver memory IS the executor heap. 16g
+        # (vs the earlier 8g) removes measurable GC drag from the full
+        # pipeline at bench scale — measured 10-30% on the heavy legs of
+        # the 1-vs-4 scaling pair on a 128 GiB host — while staying far
+        # from the host limit even with a few concurrent sessions.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
