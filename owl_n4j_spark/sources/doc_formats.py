@@ -384,8 +384,20 @@ def _pdf_unescape(b: bytes) -> str:
     while i < n:
         c = b[i]
         if c == 0x5C and i + 1 < n:           # backslash escape
-            out.append(_PDF_ESCAPES.get(b[i + 1], b[i + 1]))
-            i += 2
+            nxt = b[i + 1]
+            if 0x30 <= nxt <= 0x37:           # \ddd octal, 1-3 digits —
+                j = i + 1                     # how non-ASCII bytes appear
+                while j < min(i + 4, n) and 0x30 <= b[j] <= 0x37:
+                    j += 1                    # in non-Unicode PDF strings
+                out.append(int(b[i + 1:j], 8) & 0xFF)
+                i = j
+            elif nxt in (0x0A, 0x0D):         # line continuation: \<eol>
+                i += 2                        # joins the split string
+                if nxt == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(_PDF_ESCAPES.get(nxt, nxt))
+                i += 2
         else:
             out.append(c)
             i += 1

@@ -133,3 +133,22 @@ def test_pdf_cr_tailed_stream_not_truncated():
     raw = _render_pdf(Row(7, text, "src", "en"))
     got_text, got_lang, got_source = _extract_pdf("doc_00000007.pdf", raw)
     assert got_text == text and got_lang == "en" and got_source == "src"
+
+
+def test_pdf_octal_escapes_and_line_continuation():
+    """Real digital-born PDFs emit non-ASCII bytes of non-Unicode strings
+    as \\ddd octal escapes (PDF 32000-1 §7.3.4.2) and may split long
+    literals with a backslash-EOL continuation. The decoder must render
+    \\101 as 'A' (1-3 digit forms, stopping at the 4th char), fold
+    \\<eol> away, and still pass plain escapes through."""
+    from owl_n4j_spark.sources.doc_formats import _pdf_unescape
+
+    assert _pdf_unescape(rb"\101\102\103") == "ABC"
+    assert _pdf_unescape(rb"\0501\051") == "(1)"        # 3-digit then literal
+    assert _pdf_unescape(rb"\53") == "+"                # 2-digit form
+    assert _pdf_unescape(rb"\0004") == "\x004"          # stops after 3 digits
+    assert _pdf_unescape(b"split\\\nline") == "splitline"
+    assert _pdf_unescape(b"split\\\r\nline") == "splitline"
+    assert _pdf_unescape(rb"\(paren\) \\ \n") == "(paren) \\ \n"
+    # octal escapes composing a UTF-8 sequence decode to the character
+    assert _pdf_unescape(rb"caf\303\251") == "café"
