@@ -59,6 +59,29 @@ def _stage_stamp_ok(path: str) -> bool:
         return False
 
 
+def _stage_snapshot_id(path: str) -> str | None:
+    """Deterministic snapshot id of a committed stage directory — the
+    local-warehouse analog of an Iceberg snapshot id. Derived from the
+    committed LAYOUT (sorted part-file names + sizes + schema version),
+    so it is stable across resumes that serve the same commit, changes
+    whenever the stage is rewritten, and costs one directory listing —
+    never a data read. None for a non-local / unreadable warehouse (such
+    warehouses never resume either, _write_stage_stamp's contract)."""
+    import hashlib
+
+    try:
+        parts = sorted(
+            (e.name, e.stat().st_size)
+            for e in os.scandir(path)
+            if e.is_file() and not e.name.startswith((".", "_")))
+    except OSError:
+        return None
+    h = hashlib.sha1(str(STAGE_SCHEMA_VERSION).encode())
+    for name, size in parts:
+        h.update(f"|{name}:{size}".encode())
+    return h.hexdigest()[:16]
+
+
 def normalize_transcripts(transcripts: DataFrame) -> DataFrame:
     """Stage 1 — clean + dedup + stable order guarantee.
 
@@ -180,6 +203,13 @@ def run_pipeline(
     if new_rejections:
         resume = False
 
+    # stage name -> snapshot id of the commit this run computed or resumed
+    # from (None without a warehouse — a localCheckpoint is not a durable
+    # snapshot and reporting one would be a lie). Manifest rows carry it so
+    # lineage says WHICH commit produced each stage's counts (K5 + the
+    # north rule's "resume from the last committed snapshot checkpoint").
+    snapshots: dict[str, str | None] = {}
+
     def staged(name: str, df_fn) -> DataFrame:
         """Compute-or-resume one stage through the warehouse.
 
@@ -204,6 +234,7 @@ def run_pipeline(
         # silently serving an old shape whose semantics changed). This is
         # the whole-warehouse analog of Iceberg's schema-id check.
         if resume and stage_is_committed(path) and _stage_stamp_ok(path):
+            snapshots[name] = _stage_snapshot_id(path)
             return spark.read.parquet(path)
         # This stage is being (re)computed, so every committed stage after
         # it derives from a lineage that no longer exists — resuming one
@@ -214,6 +245,7 @@ def run_pipeline(
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
         _write_stage_stamp(path)
+        snapshots[name] = _stage_snapshot_id(path)
         return spark.read.parquet(path)
 
     # ---- stage 1: normalize ------------------------------------------------
@@ -337,7 +369,8 @@ def run_pipeline(
         mw.record("edges_referential", in_rows=n_all_edges,
                   out_df=None, out_rows=n_valid_edges,
                   quarantined=n_all_edges - n_valid_edges,
-                  per_partition=False)
+                  per_partition=False,
+                  snapshot_id=snapshots.get("t07_edges"))
 
     if with_manifest:
         if records_df is None:
@@ -357,17 +390,23 @@ def run_pipeline(
                 n_in, n_valid_in = agg["n_in"], agg["n_valid"]
             n_clean = clean.count()
             mw.record("normalize", in_rows=n_in, out_df=clean,
-                      quarantined=n_in - n_valid_in)
-            mw.record("extract", in_rows=n_clean, out_df=records)
+                      quarantined=n_in - n_valid_in,
+                      snapshot_id=snapshots.get("t01_normalized"))
+            mw.record("extract", in_rows=n_clean, out_df=records,
+                      snapshot_id=snapshots.get("t02_records"))
         # one count action serves both manifest rows that need the record
         # total (r2 verdict: records.count() ran twice here)
         n_records = records.count()
         if records_df is not None:
-            mw.record("extract_external", in_rows=n_records, out_df=records)
+            mw.record("extract_external", in_rows=n_records, out_df=records,
+                      snapshot_id=snapshots.get("t02_records"))
         mw.record("link_canonicalize", in_rows=final_mapping.count(),
-                  out_df=final_mapping)
-        mw.record("triples", in_rows=n_records, out_df=triples)
-        mw.record("materialize_nodes", in_rows=mentions.count(), out_df=nodes)
+                  out_df=final_mapping,
+                  snapshot_id=snapshots.get("t03_mapping"))
+        mw.record("triples", in_rows=n_records, out_df=triples,
+                  snapshot_id=snapshots.get("t05_triples"))
+        mw.record("materialize_nodes", in_rows=mentions.count(), out_df=nodes,
+                  snapshot_id=snapshots.get("t06_nodes"))
         manifest = mw.flush()
     else:
         manifest = mw.to_df()

@@ -143,3 +143,33 @@ def test_version_stamp_mismatch_invalidates_any_stage(spark, tmp_path):
     assert mtime("t05_triples") != before, "stale-stamped stage was resumed"
     with open(os.path.join(wh, "t05_triples", _STAMP_NAME)) as f:
         assert f.read().strip() != "1"      # re-stamped at current version
+
+
+def test_manifest_snapshot_ids_stable_across_resume(spark, tmp_path):
+    """Warehoused stage rows in the manifest carry the commit's snapshot
+    id (the Iceberg-snapshot analog): non-null and layout-derived on a
+    warehoused run, IDENTICAL on a resumed run serving the same commits,
+    and null without a warehouse (a localCheckpoint is not a durable
+    snapshot)."""
+    wh = str(tmp_path / "whsnap")
+    corpus = generate_corpus_pandas(12, seed=21)
+    tr = spark.createDataFrame(corpus["transcripts"])
+    ad = spark.createDataFrame(corpus["alias_dict"])
+
+    def snap_map(res):
+        return {r.stage: r.snapshot_id
+                for r in res["manifest"].filter("partition_id = -1").collect()}
+
+    s1 = snap_map(run_pipeline(spark, tr, alias_dict=ad, warehouse=wh))
+    warehoused = ("normalize", "extract", "link_canonicalize", "triples",
+                  "materialize_nodes", "edges_referential")
+    for stage in warehoused:
+        assert s1[stage], f"{stage} row has no snapshot id"
+    # distinct stages are distinct commits
+    assert len({s1[s] for s in warehoused}) == len(warehoused)
+
+    s2 = snap_map(run_pipeline(spark, tr, alias_dict=ad, warehouse=wh))
+    assert {s: s2[s] for s in warehoused} == {s: s1[s] for s in warehoused}
+
+    s3 = snap_map(run_pipeline(spark, tr, alias_dict=ad))  # no warehouse
+    assert all(s3[s] is None for s in warehoused)
