@@ -1221,10 +1221,14 @@ def kg_degree_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("dst_key").alias("key")))
         .groupBy("key").agg(F.count("*").alias("degree"))
     )
+    # Distributed TakeOrderedAndProject first (per-partition top-N, merged on
+    # the driver), THEN rank the bounded N-row result — never a partition-less
+    # window over the full entity universe (reference caps the same way after
+    # denormalizing: scripts/backfill_person_comm_counts.py:1-25).
+    top = deg.orderBy(F.desc("degree"), F.asc("key")).limit(TOP_DEGREE_N)
     w = Window.orderBy(F.desc("degree"), F.asc("key"))
     return (
-        deg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_DEGREE_N)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "key", "degree")
         .orderBy("rank")
     )
@@ -2117,13 +2121,17 @@ def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("dst_key").alias("key")))
         .groupBy("key").agg(F.count("*").alias("degree"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("key"))
-    return (
+    scored = (
         mc.join(deg, "key", "left")
         .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
         .withColumn("score", F.col("n_mentions") + F.col("degree"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_ENTITIES_N)
+    )
+    # TakeOrderedAndProject over the scored universe, then rank only the
+    # bounded N-row survivor set (see kg_degree_topn for the rationale).
+    top = scored.orderBy(F.desc("score"), F.asc("key")).limit(TOP_ENTITIES_N)
+    w = Window.orderBy(F.desc("score"), F.asc("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "key", "score", "n_mentions",
                 F.col("degree").cast("bigint").alias("degree"))
         .orderBy("rank")

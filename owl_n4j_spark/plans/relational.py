@@ -236,7 +236,6 @@ ORDER BY c_mktsegment
 
 
 def q_top_parts(spark, sf_dir):
-    orders_w = Window.orderBy(F.desc("total_qty"), F.asc("p_partkey"))
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     return (

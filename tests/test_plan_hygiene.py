@@ -161,3 +161,48 @@ def test_suggest_links_no_cartesian(spark):
     plan = _plan(kg_suggest_links(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _iter_plan_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_plan_nodes(children.apply(i))
+
+
+def _global_windows_over_unbounded(df):
+    """Partition-less WindowExec nodes whose subtree contains NO limit —
+    i.e. a single-task sort of an unbounded input. Serving queries must
+    never contain one: rank AFTER orderBy().limit(N), not instead of it."""
+    bad = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().sparkPlan()):
+        if node.nodeName() != "Window":
+            continue
+        try:
+            if node.partitionSpec().size() > 0:
+                continue  # partitioned window — scales with the key space
+        except Exception:
+            pass  # can't read the spec: treat as global, require the limit
+        subtree = [n.nodeName() for n in _iter_plan_nodes(node)][1:]
+        if not any("Limit" in s or "TakeOrderedAndProject" in s
+                   for s in subtree):
+            bad.append(node.toString().splitlines()[0])
+    return bad
+
+
+def test_no_global_window_over_unbounded_input_in_serving_queries(spark):
+    # The one 100x scale-killer the r4 verdict named: a row_number() over an
+    # un-partitioned Window pulls the WHOLE aggregate into one task. Every
+    # serving query must bound the input (TakeOrderedAndProject / limit)
+    # before any global window.
+    from owl_n4j_spark.plans.kg_analytics import (
+        kg_degree_topn, kg_display_contacts, kg_thread_stats,
+        kg_timeline_page, kg_top_entities, kg_unified_contacts,
+    )
+    from owl_n4j_spark.plans.relational import q_top_parts
+
+    for q in (kg_degree_topn, kg_top_entities, kg_timeline_page,
+              kg_thread_stats, kg_unified_contacts, kg_display_contacts,
+              q_top_parts):
+        bad = _global_windows_over_unbounded(q(spark, SF))
+        assert not bad, f"{q.__name__}: global window over unbounded input: {bad}"
