@@ -373,7 +373,12 @@ def _pdf_streams(raw: bytes):
         elif data.endswith((b"\n", b"\r")):
             data = data[:-1]
         yield head, data
-_PDF_TOK = re.compile(rb"([0-9.]+)\s+Tf|\(((?:\\.|[^()\\])*)\)\s*Tj")
+# DOTALL so the escaped-pair atom \\. can match a backslash-LF line
+# continuation inside a string literal — without it, "(split\<LF>line) Tj"
+# matches nothing and the whole string silently drops from the text layer.
+# The only bare . is inside \\. ; the [0-9.] class is unaffected.
+_PDF_TOK = re.compile(rb"([0-9.]+)\s+Tf|\(((?:\\.|[^()\\])*)\)\s*Tj",
+                      re.DOTALL)
 _PDF_ESCAPES = {ord("n"): 10, ord("r"): 13, ord("t"): 9,
                 ord("("): 40, ord(")"): 41, ord("\\"): 92}
 

@@ -152,3 +152,29 @@ def test_pdf_octal_escapes_and_line_continuation():
     assert _pdf_unescape(rb"\(paren\) \\ \n") == "(paren) \\ \n"
     # octal escapes composing a UTF-8 sequence decode to the character
     assert _pdf_unescape(rb"caf\303\251") == "café"
+
+
+def test_pdf_backslash_lf_continuation_through_tokenizer():
+    """Regression (r4 ADVICE): _PDF_TOK's escaped-pair atom \\\\. could not
+    match a backslash-LF continuation without DOTALL, so a literal like
+    (split\\<LF>line) Tj produced ZERO tokenizer matches and the whole
+    string silently vanished from the extracted text. The prior test hit
+    _pdf_unescape directly and never exercised the tokenizer. This one
+    goes end-to-end through _extract_pdf for both \\<LF> and \\<CR><LF>."""
+    from owl_n4j_spark.sources.doc_formats import _extract_pdf
+
+    def pdf_with(content: bytes) -> bytes:
+        return (b"%PDF-1.4\n<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream\n")
+
+    lf = b"BT /F1 10 Tf 72 700 Td (split\\\nline \\303\\251) Tj ET\n"
+    text, lang, source = _extract_pdf("doc_1.pdf", pdf_with(lf))
+    assert text == "splitline é" and lang is None and source is None
+
+    crlf = b"BT /F1 10 Tf 72 700 Td (split\\\r\nline) Tj ET\n"
+    assert _extract_pdf("doc_2.pdf", pdf_with(crlf))[0] == "splitline"
+
+    # a heading-sized literal with a continuation is still dropped whole
+    both = (b"BT /F1 14 Tf 72 740 Td (head\\\ning) Tj ET\n"
+            b"BT /F1 10 Tf 72 700 Td (body) Tj ET\n")
+    assert _extract_pdf("doc_3.pdf", pdf_with(both))[0] == "body"
