@@ -23,6 +23,7 @@ from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.plans.geo import GEO_REGISTRY
 from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
 from owl_n4j_spark.plans.kg_analytics import KG_ANALYTICS_REGISTRY, kg_result
+from owl_n4j_spark.plans.media import MEDIA_REGISTRY
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
 from owl_n4j_spark.plans.text import TEXT_REGISTRY
 from owl_n4j_spark.sources import events_transcripts as et
@@ -155,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_manifest": kg_manifest,
     }
     for reg in (KG_ANALYTICS_REGISTRY, GRAPH_REGISTRY, GEO_REGISTRY,
-                TEXT_REGISTRY, RELATIONAL_REGISTRY):
+                TEXT_REGISTRY, RELATIONAL_REGISTRY, MEDIA_REGISTRY):
         for name, (fn, _) in reg.items():
             # A name collision would silently serve one registry's query
             # against the OTHER registry's oracle — a coincidental shape
@@ -187,7 +188,7 @@ def oracle_sql() -> dict[str, str]:
         # synthetic fuzz); covered by pytest P/R gate instead.
     }
     for reg in (KG_ANALYTICS_REGISTRY, GRAPH_REGISTRY, GEO_REGISTRY,
-                TEXT_REGISTRY, RELATIONAL_REGISTRY):
+                TEXT_REGISTRY, RELATIONAL_REGISTRY, MEDIA_REGISTRY):
         for name, (_, sql) in reg.items():
             if sql is not None:
                 o[name] = sql

@@ -1,16 +1,18 @@
-"""Multimodal (image/audio/video) column operators — Spark plumbing with
-stubbed codecs.
+"""Multimodal (image/audio/video) column operators — real stdlib header
+codecs for the container formats, Spark plumbing throughout.
 
 The reference routes media through per-format ingestors: Whisper audio
 transcription (/root/reference/ingestion/scripts/audio_processor.py:98-128),
 vision-model image description + EXIF harvest
 (/root/reference/ingestion/scripts/cellebrite/parser.py:33-95), and video
-frame sampling. The decode/model layers are external services there and the
-decoding libraries are not available in this container, so here each codec
-is a clearly marked deterministic STUB — but everything Spark-side is real
-and tested: the typed binary schema, Arrow-batched ``mapInPandas`` over
-size-bounded batches, partition-count preservation, and the typed metadata
-structs a 100 TB media pipeline needs.
+frame sampling. The MODEL layers (transcription, captioning, frame pixel
+decode) are external services there and their libraries are not in this
+container, so those stay clearly-marked deterministic STUBS. The CONTAINER
+parsing, however, is real: PNG/GIF/JPEG dimensions from the format headers,
+WAV duration/rate/channels from the RIFF chunks — all stdlib, all tested
+round-trip against real encoders below. Everything Spark-side is real too:
+the typed binary schema, Arrow-batched ``mapInPandas`` over size-bounded
+batches, partition-count preservation, and per-row error isolation.
 
 Scale shape: media bytes never pass through a shuffle — every operator is a
 narrow mapInPandas over the input partitioning; only the (tiny) extracted
@@ -20,6 +22,8 @@ features/metadata flow into joins downstream.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -29,7 +33,7 @@ MEDIA_SCHEMA = ("media_id string, kind string, content binary, "
                 "mime string, ts timestamp")
 
 FEATURE_SCHEMA = (
-    "media_id string, kind string, n_bytes bigint, sha1 string, "
+    "media_id string, kind string, fmt string, n_bytes bigint, sha1 string, "
     "width int, height int, duration_sec double, n_frames int, "
     "transcript string, feature array<float>"
 )
@@ -39,23 +43,88 @@ FEATURE_SCHEMA = (
 MEDIA_ROWS_PER_BATCH = 32
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB: real impl would be PIL/libvips decode. Deterministic fake:
-    dimensions derived from the content hash (stable across runs/executors).
-    Raises on empty payload like a real decoder would."""
-    if not content:
-        raise ValueError("empty image payload")
-    h = hashlib.sha1(content).digest()
-    return 320 + h[0] % 4 * 160, 240 + h[1] % 4 * 120
+# ---------------------------------------------------------------------------
+# Real stdlib container codecs (r4 verdict item 2). Parsers raise ValueError
+# on anything malformed — callers quarantine the row, never the batch.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _transcribe_audio_stub(content: bytes) -> tuple[float, str]:
-    """STUB for the Whisper transcription stage (audio_processor.py:98-128).
-    Deterministic fake transcript keyed by content hash."""
+def image_dims(content: bytes) -> tuple[str, int, int]:
+    """Sniff PNG / GIF / JPEG from the magic bytes and return
+    (fmt, width, height) read from the real format header:
+    PNG IHDR (big-endian, bytes 16-24), GIF logical screen descriptor
+    (little-endian, bytes 6-10), JPEG SOF0/1/2 frame header found by
+    walking the marker-segment chain."""
+    if content.startswith(_PNG_SIG):
+        if len(content) < 24 or content[12:16] != b"IHDR":
+            raise ValueError("truncated PNG header")
+        w, h = struct.unpack(">II", content[16:24])
+        return "png", w, h
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        if len(content) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack("<HH", content[6:10])
+        return "gif", w, h
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                raise ValueError("bad JPEG marker chain")
+            marker = content[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(content[i + 2:i + 4], "big")
+            if seg_len < 2:
+                raise ValueError("bad JPEG segment length")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(content[i + 5:i + 7], "big")
+                w = int.from_bytes(content[i + 7:i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + seg_len
+        raise ValueError("no JPEG SOF marker")
+    raise ValueError("unknown image format")
+
+
+def wav_info(content: bytes) -> tuple[float, int, int, int]:
+    """(duration_sec, sample_rate, n_channels, n_frames) from the RIFF/WAVE
+    chunk list — a manual walk rather than the ``wave`` module so oddly-
+    ordered or extra chunks (LIST, fact) and odd-sized chunks (spec-mandated
+    pad byte) parse too."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = channels = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(content):
+        tag = content[i:i + 4]
+        size = int.from_bytes(content[i + 4:i + 8], "little")
+        if tag == b"fmt " and size >= 16:
+            channels = int.from_bytes(content[i + 10:i + 12], "little")
+            rate = int.from_bytes(content[i + 12:i + 16], "little")
+            bits = int.from_bytes(content[i + 22:i + 24], "little")
+        elif tag == b"data":
+            data_size = min(size, len(content) - i - 8)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not channels or not bits or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    frame_bytes = channels * (bits // 8)
+    if frame_bytes <= 0:
+        raise ValueError("bad fmt chunk")
+    n_frames = data_size // frame_bytes
+    return n_frames / rate, rate, channels, n_frames
+
+
+def _transcribe_audio_stub(content: bytes) -> str:
+    """STUB for the Whisper transcription MODEL stage
+    (audio_processor.py:98-128) — deliberately out of engine scope (SURVEY
+    §2 S5); deterministic fake transcript keyed by content hash. The WAV
+    container itself is parsed for real by :func:`wav_info`."""
     if not content:
         raise ValueError("empty audio payload")
-    dur = round(1.0 + (len(content) % 600), 1)
-    return dur, f"transcript-{hashlib.sha1(content).hexdigest()[:12]}"
+    return f"transcript-{hashlib.sha1(content).hexdigest()[:12]}"
 
 
 def _sample_video_frames_stub(content: bytes) -> tuple[float, int]:
@@ -89,7 +158,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                                               chunk["kind"],
                                               chunk["content"]):
                     content = bytes(content) if content is not None else b""
-                    row = dict(media_id=mid, kind=kind,
+                    row = dict(media_id=mid, kind=kind, fmt=None,
                                n_bytes=len(content),
                                sha1=hashlib.sha1(content).hexdigest(),
                                width=None, height=None, duration_sec=None,
@@ -97,13 +166,20 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                                feature=_feature_stub(content))
                     try:
                         if kind == "image":
-                            row["width"], row["height"] = _decode_image_stub(content)
+                            # real header parse (PNG IHDR / GIF LSD / JPEG SOF)
+                            row["fmt"], row["width"], row["height"] = \
+                                image_dims(content)
                         elif kind == "audio":
-                            row["duration_sec"], row["transcript"] = \
-                                _transcribe_audio_stub(content)
+                            # real RIFF/WAVE parse; transcript stays the
+                            # declared model stub
+                            dur, _rate, _ch, _nf = wav_info(content)
+                            row["fmt"] = "wav"
+                            row["duration_sec"] = dur
+                            row["transcript"] = _transcribe_audio_stub(content)
                         elif kind == "video":
                             row["duration_sec"], row["n_frames"] = \
                                 _sample_video_frames_stub(content)
+                            row["fmt"] = "mp4"
                     except ValueError:
                         pass  # quarantine-shaped: typed cols stay null
                     rows.append(row)
@@ -226,25 +302,132 @@ def normalize_exif_metadata(meta: DataFrame) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int, seed: int = 42, n_partitions: int = 4) -> DataFrame:
-    """Deterministic synthetic media table for tests/benchmarks."""
+# ---------------------------------------------------------------------------
+# Real stdlib encoders — produce genuine PNG/GIF/JPEG/WAV payloads so the
+# parsers above are exercised against real container bytes, and so the
+# fixture arithmetic below stays SQL-derivable (q_media_features' oracle).
+# ---------------------------------------------------------------------------
+
+
+def render_png(w: int, h: int, seed: int = 0) -> bytes:
+    """Real 8-bit grayscale PNG: signature, IHDR, one zlib IDAT of
+    filter-0 scanlines, IEND — CRCs and all."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    row = bytes((seed * 31 + x) & 0xFF for x in range(w))
+    raw = b"".join(b"\x00" + row for _ in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def render_gif(w: int, h: int, seed: int = 0) -> bytes:
+    """GIF89a header + logical screen descriptor with a 2-entry global
+    color table and trailer (dimension-bearing structure; pixel data
+    omitted — the engine never rasterizes)."""
+    gct = bytes(((seed + k) & 0xFF) for k in range(6))
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80, 0, 0]) + gct + b"\x3b")
+
+
+def render_jpeg(w: int, h: int, seed: int = 0) -> bytes:
+    """Real JPEG marker chain: SOI, APP0/JFIF, COM (seed-keyed payload so
+    the SOF scan must actually walk segments), SOF0 baseline frame header
+    with the dimensions, EOI."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"s%08x" % (seed & 0xFFFFFFFF)
+    sof = (b"\x08" + struct.pack(">HH", h, w)
+           + b"\x01\x01\x11\x00")  # 8-bit, 1 component
+    out = b"\xff\xd8"
+    for marker, payload in ((b"\xff\xe0", app0), (b"\xff\xfe", com),
+                            (b"\xff\xc0", sof)):
+        out += marker + struct.pack(">H", len(payload) + 2) + payload
+    return out + b"\xff\xd9"
+
+
+def render_wav(n_frames: int, rate: int = 8000, channels: int = 1,
+               seed: int = 0) -> bytes:
+    """Real PCM16 RIFF/WAVE file via the stdlib ``wave`` module, with a
+    deterministic sawtooth payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        idx = np.arange(n_frames * channels, dtype=np.int64)
+        samples = ((seed * 2654435761 + idx * 40503) & 0xFFFF) - 32768
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def media_spec(i: int) -> dict:
+    """Pure-integer-arithmetic spec for synthetic media row ``i`` — the
+    single source of truth shared by the renderer AND the DuckDB oracle of
+    q_media_features (plans/media.py mirrors every expression in SQL).
+    Every id with ``i % 17 == 5`` is an empty (corrupt) payload."""
+    kind = ("image", "audio", "video")[i % 3]
+    spec = dict(kind=kind, empty=(i % 17 == 5))
+    if kind == "image":
+        spec["fmt"] = ("png", "gif", "jpeg")[(i // 3) % 3]
+        spec["width"] = 16 + (i * 7) % 240
+        spec["height"] = 16 + (i * 13) % 180
+    elif kind == "audio":
+        spec.update(fmt="wav", rate=8000, channels=1 + i % 2,
+                    n_frames=400 + (i * 37) % 4000)
+    else:  # video — payload size drives the declared frame-sampling stub
+        spec.update(fmt="mp4", size=64 + (i * 11) % 4096)
+    return spec
+
+
+def render_media_row(i: int, seed: int = 42) -> dict:
+    """One MEDIA_SCHEMA row with REAL container bytes per media_spec(i)."""
+    spec = media_spec(i)
+    kind = spec["kind"]
+    if spec["empty"]:
+        content = b""
+    elif kind == "image":
+        render = {"png": render_png, "gif": render_gif,
+                  "jpeg": render_jpeg}[spec["fmt"]]
+        content = render(spec["width"], spec["height"], seed=seed + i)
+    elif kind == "audio":
+        content = render_wav(spec["n_frames"], spec["rate"],
+                             spec["channels"], seed=seed + i)
+    else:
+        # no video codec in this container (declared stub) — an opaque
+        # deterministic payload of the spec'd size
+        pat = hashlib.sha256(f"{seed}|{i}".encode()).digest()
+        content = (pat * (spec["size"] // len(pat) + 1))[:spec["size"]]
+    mime = {"image": f"image/{spec['fmt']}" if not spec["empty"] else "image/*",
+            "audio": "audio/wav", "video": "video/mp4"}[kind]
+    return dict(
+        media_id=f"m-{i:06d}", kind=kind, content=content, mime=mime,
+        ts=pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i))
+
+
+def media_for_ids(ids: DataFrame, id_col: str = "id",
+                  seed: int = 42) -> DataFrame:
+    """Render the deterministic media table over an arbitrary id column —
+    a narrow mapInPandas, so the (large) payload bytes are born inside the
+    partition that consumes them and never shuffle."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
         for pdf in batches:
-            rows = []
-            for i in pdf["id"].tolist():
-                rng = np.random.RandomState((seed * 7919 + int(i)) % (2**31 - 1))
-                kind = ["image", "audio", "video"][int(i) % 3]
-                size = int(rng.randint(64, 4096))
-                content = rng.bytes(size) if int(i) % 17 != 5 else b""
-                rows.append(dict(
-                    media_id=f"m-{int(i):06d}", kind=kind, content=content,
-                    mime={"image": "image/jpeg", "audio": "audio/wav",
-                          "video": "video/mp4"}[kind],
-                    ts=pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=int(i)),
-                ))
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([render_media_row(int(i), seed=seed)
+                                for i in pdf[id_col].tolist()])
 
-    return (spark.range(0, n, numPartitions=n_partitions)
-            .mapInPandas(gen, schema=MEDIA_SCHEMA))
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_media(spark, n: int, seed: int = 42, n_partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table (REAL container bytes) for
+    tests/benchmarks."""
+    return media_for_ids(spark.range(0, n, numPartitions=n_partitions),
+                         "id", seed=seed)
