@@ -1007,6 +1007,86 @@ def wiretap_reconcile_report(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# §2.11 — stream/batch parity as a first-class (oracle-backed) query
+# ---------------------------------------------------------------------------
+
+
+def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream ingest parity as a DRIVER-CHECKED query (SURVEY §2.11
+    — the reference's resumable background ingestion must land the same
+    rows as a foreground run, ingestion/scripts/cellebrite/
+    ingestion.py:219-241): the availableNow XML-dump stream
+    (streaming/incremental.read_xml_dump_stream) and the wiretap
+    landing-folder stream (read_wiretap_stream) are run to completion over
+    the SAME fixtures the batch readers consume, and the query output IS
+    the reconciliation: per source, the streamed row/conversation counts
+    plus a set-equality flag (both-direction ``exceptAll`` empty) against
+    the batch parse. The counts are relationally derivable from ``events``
+    and the flag's expected value is TRUE, so a drifting streaming path
+    hash-fails the oracle instead of only failing a local pytest.
+
+    Each stream runs ONCE per (session, sf) into a checkpointed parquet
+    warehouse (marker-guarded, the ensure_* discipline); the comparison
+    itself is two set-difference aggregations — no driver-side collect."""
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
+    from owl_n4j_spark.sources.wiretap import transcripts_from_sessions
+    from owl_n4j_spark.streaming.incremental import (
+        run_incremental_wiretap_ingest,
+        run_incremental_xml_ingest,
+    )
+
+    xml_dir = ensure_ufed_xml(spark, sf_dir)
+    case_dir = ensure_wiretap(spark, sf_dir)
+    sx = warehouse_dir(spark, sf_dir, "stream_xml")
+    sw = warehouse_dir(spark, sf_dir, "stream_wt")
+    if not os.path.exists(sx + ".done"):
+        run_incremental_xml_ingest(spark, xml_dir, sx, sx + "_ckpt")
+        open(sx + ".done", "w").close()
+    if not os.path.exists(sw + ".done"):
+        run_incremental_wiretap_ingest(spark, case_dir, sw, sw + "_ckpt")
+        open(sw + ".done", "w").close()
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def leg(source: str, batch: DataFrame, stream: DataFrame) -> DataFrame:
+        b, s = batch.select(*cols), stream.select(*cols)
+        stats = s.agg(
+            F.count("*").alias("rows_stream"),
+            F.countDistinct("conv_id").alias("convs_stream"))
+        # exceptAll both ways: multiset equality, so a duplicated-then-
+        # dropped row pair can't cancel out the way count comparison would
+        diff = (s.exceptAll(b).unionAll(b.exceptAll(s))
+                .agg(F.count("*").alias("n_diff")))
+        return (stats.crossJoin(diff)
+                .select(F.lit(source).alias("source"),
+                        "rows_stream", "convs_stream",
+                        (F.col("n_diff") == 0).alias("stream_equals_batch")))
+
+    xml = leg("ufed_xml", read_ufed_xml(spark, xml_dir),
+              spark.read.parquet(sx))
+    wt = leg("wiretap",
+             transcripts_from_sessions(_wiretap_sessions(spark, sf_dir)),
+             spark.read.parquet(sw))
+    return xml.unionAll(wt).orderBy("source")
+
+
+SQL_Q_STREAM_PARITY = f"""
+WITH {_BASE_CTE},
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_stream,
+             CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS convs_stream
+      FROM t),
+w AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_stream,
+             CAST(COUNT(*) AS BIGINT) AS convs_stream
+      FROM t WHERE event_type = 'view')
+SELECT 'ufed_xml' AS source, rows_stream, convs_stream,
+       TRUE AS stream_equals_batch FROM x
+UNION ALL
+SELECT 'wiretap', rows_stream, convs_stream, TRUE FROM w
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cross-extraction intersection: entities present in 2+ device dumps
 # ---------------------------------------------------------------------------
 
@@ -2180,6 +2260,7 @@ KG_ANALYTICS_REGISTRY = {
     "q_wiretap_ingest": (q_wiretap_ingest, SQL_Q_WIRETAP_INGEST),
     "kg_wiretap_triples": (kg_wiretap_triples, SQL_KG_WIRETAP_TRIPLES),
     "q_wiretap_manifest": (q_wiretap_manifest, SQL_Q_WIRETAP_MANIFEST),
+    "q_stream_parity": (q_stream_parity, SQL_Q_STREAM_PARITY),
     "kg_suggest_links": (kg_suggest_links, SQL_KG_SUGGEST_LINKS),
     "kg_insights": (kg_insights, SQL_KG_INSIGHTS),
     "kg_cost_ledger": (kg_cost_ledger, SQL_KG_COST_LEDGER),

@@ -190,6 +190,30 @@ def read_wiretap_stream(spark: SparkSession, case_dir: str,
     return files.mapInPandas(parse, OUT_SCHEMA)
 
 
+def run_incremental_wiretap_ingest(
+    spark: SparkSession,
+    case_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+) -> None:
+    """Catch-up-then-stop wiretap session ingestion: landed session folders
+    -> transcripts parquet, availableNow + checkpoint (the S6 twin of
+    run_incremental_xml_ingest). The .sri marker is the offset-tracked
+    unit, so a restart never re-parses a committed session, and
+    ``max_files_per_trigger`` bounds each catch-up batch."""
+    q = (
+        read_wiretap_stream(spark, case_dir, max_files_per_trigger)
+        .writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def extract_stream(transcripts: DataFrame,
                    gazetteer: list[str] | None = None) -> DataFrame:
     """Stateless stage 2/3 over a streaming DataFrame — identical operator,

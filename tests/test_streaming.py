@@ -236,3 +236,25 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # restart with the same checkpoint: nothing new to emit
     dedup_stream(spark, d["in"] + "/*", d["out"], d["ckpt"])
     assert spark.read.parquet(d["out"]).count() == expect.count()
+
+
+def test_stream_parity_query(spark, sf_dir):
+    """q_stream_parity (§2.11 as a driver row): the availableNow XML and
+    wiretap streams must land the exact batch row multiset — both parity
+    flags true, and the streamed counts match the batch readers."""
+    from owl_n4j_spark.plans.kg_analytics import q_stream_parity
+
+    rows = {r["source"]: r for r in q_stream_parity(spark, sf_dir).collect()}
+    assert set(rows) == {"ufed_xml", "wiretap"}
+    assert all(r["stream_equals_batch"] for r in rows.values())
+    assert rows["ufed_xml"]["rows_stream"] > 0
+    # one folder per 'view' event -> one conversation per streamed session
+    assert (rows["wiretap"]["rows_stream"]
+            == rows["wiretap"]["convs_stream"] > 0)
+
+    # marker-guarded warm path: a second call must not re-run the streams
+    # and must return the identical reconciliation
+    again = {r["source"]: r for r in
+             q_stream_parity(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in again.items()} == {
+        k: tuple(v) for k, v in rows.items()}
