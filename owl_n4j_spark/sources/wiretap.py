@@ -44,7 +44,10 @@ def rtf_to_text(s: str) -> str:
     reference relies on, audio_processor.py:186-210): drops destination
     groups (font/color tables, \\* extensions) with nesting awareness,
     converts \\par to newline, decodes \\'xx 8-bit escapes (cp1252, the
-    \\ansi default) and \\uN unicode escapes (one fallback char skipped),
+    \\ansi default) and \\uN unicode escapes (the \\ucN fallback count is
+    honored and GROUP-SCOPED, saved/restored on braces like any RTF
+    formatting state — a Word \\uc2 document must not leak stray fallback
+    chars, and a nested \\uc1 override must not survive its group),
     unescapes \\{ \\} \\\\, strips every other control word, and trims
     blank lines — so a Word-authored interpretation with accented names
     survives extraction instead of degrading to quote-garbage."""
@@ -52,10 +55,13 @@ def rtf_to_text(s: str) -> str:
     i, n = 0, len(s)
     depth = 0
     skip_depth = 0          # >0: inside a destination group at that depth
+    uc_stack = [1]          # \ucN per open group (RTF 1.9 §unicode): the
+    #                         count of ANSI fallback chars after each \uN
     while i < n:
         c = s[i]
         if c == "{":
             depth += 1
+            uc_stack.append(uc_stack[-1])
             if not skip_depth and _DESTINATIONS.match(s, i):
                 skip_depth = depth
             i += 1
@@ -63,6 +69,8 @@ def rtf_to_text(s: str) -> str:
             if skip_depth == depth:
                 skip_depth = 0
             depth -= 1
+            if len(uc_stack) > 1:
+                uc_stack.pop()
             i += 1
         elif c == "\\":
             if i + 1 < n and s[i + 1] == "'":
@@ -81,13 +89,17 @@ def rtf_to_text(s: str) -> str:
                 i = m.end()
                 if word == "par" and not skip_depth:
                     out.append("\n")
+                elif word == "uc" and num is not None:
+                    uc_stack[-1] = max(int(num), 0)
                 elif word == "u" and num is not None:
                     cp = int(num)
                     if not skip_depth:
                         out.append(chr(cp + 65536 if cp < 0 else cp))
-                    # \uN is followed by one fallback char (the \ucN=1
-                    # default) — skip it, whether bare or a \'xx escape
-                    if i < n:
+                    # skip the current group's \ucN fallback chars — a
+                    # fallback may itself be a \'xx escape (one char each)
+                    for _ in range(uc_stack[-1]):
+                        if i >= n:
+                            break
                         i += 4 if s.startswith("\\'", i) else 1
             else:               # escaped literal: \{ \} \\
                 if i + 1 < n and not skip_depth:
@@ -232,12 +244,55 @@ def _fmt_line_id(digits: str) -> str:
     return f"+{digits}"
 
 
+def _rtf_escape(t: str) -> str:
+    return (t.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}"))
+
+
+def _render_rtf(a: str, b: str, with_synopsis: bool, rich: bool) -> str:
+    """Render one interpretation rtf. ``rich=False`` is the minimal
+    single-font shape; ``rich=True`` is the Word-authored shape real
+    transcribers deliver — nested formatting groups, a \\uc2 fallback
+    default with \\uN escapes (and a nested \\uc1 override that must not
+    leak out of its group), mid-text \\'xx hex escapes, colortbl/
+    stylesheet/generator/info destinations — all of which must strip to
+    the IDENTICAL text as the plain shape, so q_wiretap_ingest's exact
+    oracle covers the stripper's documented contract, not just its happy
+    path."""
+    ea, eb = _rtf_escape(a), _rtf_escape(b)
+    if not rich:
+        syn = f"SYNOPSIS: {ea} called {eb} yesterday.\\par\n"
+        return ("{\\rtf1\\ansi\\deff0\n"
+                "{\\fonttbl{\\f0\\fnil Times New Roman;}}\n"
+                f"\\f0\\fs24 PARTICIPANTS: {ea} AND {eb}\\par\n"
+                + (syn if with_synopsis else "") + "}")
+    # rich: first char of A rides a \uN escape inside a {\uc1 ...} group;
+    # the SYNOPSIS keyword itself carries a \uc2-governed \u89?? ('Y') and
+    # the trailing 'y' of 'yesterday' a \u121?? — if \ucN scoping is wrong
+    # either stray '?' fallbacks leak into the claim or name chars vanish,
+    # and the exact oracle catches both.
+    a_esc = f"{{\\uc1 \\u{ord(a[0])}?{_rtf_escape(a[1:])}}}"
+    syn = (f"{{\\i S\\u89??NOPSIS:}} {a_esc} called {eb} "
+           "yesterda\\u121??.\\par\n")
+    return (
+        "{\\rtf1\\ansi\\ansicpg1252\\uc2\\deff0\n"
+        "{\\fonttbl{\\f0\\fswiss Calibri;}{\\f1\\fnil Arial;}}\n"
+        "{\\colortbl ;\\red0\\green0\\blue0;\\red192\\green0\\blue0;}\n"
+        "{\\stylesheet{\\s0\\f0 Normal;}}\n"
+        "{\\*\\generator TranscriberPro 9.1.4422}\n"
+        "{\\info{\\author unit-7}{\\operator det. example}}\n"
+        f"\\f0\\fs22\\cf1 {{\\b P\\'41RTICIPANTS:}} {ea} \\'41ND "
+        f"{eb}\\par\n"
+        + (syn if with_synopsis else "") + "}")
+
+
 def write_wiretap_folders(spark: SparkSession, sf_dir: str,
                           out_dir: str) -> str:
     """Render every 'view' event as one wiretap session folder:
     <out>/sessions/<event_id %08d>/{<id>.sri, <id>.syn.rtf}. Every 10th
     session also gets a decoy notes.rtf the parser must NOT prefer over
-    the syn interpretation. Fixture scaffolding — counts, metadata, and
+    the syn interpretation, and every 7th ships the rich Word-authored
+    rtf markup (_render_rtf) that must strip to the identical text.
+    Fixture scaffolding — counts, metadata, and
     text are all relationally derivable from events + the person map.
 
     DEGENERATE SESSIONS (deterministic, so the reconciliation manifest has
@@ -283,13 +338,10 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
             "time_zone=CST\n"
             f"contact_id=FMI={eid % 1000},{eid * 7 % 1000},"
             f"{eid * 13 % 10000}\n")
-        synopsis_line = (f"SYNOPSIS: {a.full_name} called {b.full_name} "
-                         "yesterday.\\par\n")
-        rtf = (
-            "{\\rtf1\\ansi\\deff0\n"
-            "{\\fonttbl{\\f0\\fnil Times New Roman;}}\n"
-            f"\\f0\\fs24 PARTICIPANTS: {a.full_name} AND {b.full_name}\\par\n"
-            + ("" if eid % 89 == 0 else synopsis_line) + "}")
+        # every 7th session ships the Word-authored rich-markup shape
+        # (nested groups, \uc2/\uN, hex escapes) — strips to the SAME text
+        rtf = _render_rtf(a.full_name, b.full_name,
+                          with_synopsis=eid % 89 != 0, rich=eid % 7 == 0)
         skip_syn = eid % 41 == 0         # transcriber never delivered
         if not skip_syn:
             with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
@@ -309,10 +361,21 @@ _SESSION_SCHEMA = ("folder_name string, start_string string, "
                    "interpretation string")
 
 
-def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
+def read_wiretap_sessions(spark: SparkSession, case_dir: str,
+                          list_shards: int | None = None) -> DataFrame:
     """Case directory -> one row per wiretap session:
     (folder_name, time_of_call timestamp, line_id, contact_id,
      session_length int, participants, interpretation, doc_text).
+
+    ``list_shards=N`` moves the directory LISTING off the driver too: N
+    tasks each stream one ``os.scandir`` pass over the sessions root and
+    keep only the folders whose name-crc falls in their shard, parsing
+    them as they are listed. The driver never materializes (or sorts) the
+    folder-name list — O(1) driver memory at any session count — at the
+    cost of N redundant dirent sweeps, which overlap across executors.
+    Use it past ~1M sessions (the docstring bound below); result set is
+    identical to the flat path (name-crc sharding is a partition of the
+    same folders, asserted in tests/test_wiretap.py).
 
     PARALLEL UNIT = the session FOLDER (exactly the reference's
     process_wiretap_folder granularity, audio_processor.py:253-260): one
@@ -334,27 +397,59 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str) -> DataFrame:
     import pandas as pd
 
     root = os.path.join(case_dir, "sessions")
-    # ONE listing of the sessions root; folder names only (a 1M-session
-    # case is ~tens of MB of names — fine to fan out; shard the root by
-    # id-prefix if a case ever outgrows that). A case with no sessions yet
-    # (or no sessions/ dir at all) is an empty result, not a crash.
-    folders = (sorted(e.path for e in os.scandir(root) if e.is_dir())
-               if os.path.isdir(root) else [])
-    n_slices = min(max(len(folders) // 64, 1),
-                   spark.sparkContext.defaultParallelism * 4)
-    fdf = spark.createDataFrame(
-        [(p,) for p in folders], "folder_path string").repartition(n_slices)
-
     cols = ["folder_name", "start_string", "line_id", "contact_id",
             "session_length", "participants", "interpretation"]
 
-    def parse(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                [parse_session_folder(fp) for fp in pdf["folder_path"]],
-                columns=cols)
+    if list_shards:
+        # distributed listing: one scandir STREAM per shard task, folders
+        # filtered by a deterministic name-crc (zlib.crc32, stable across
+        # processes — builtin hash() is salted) and parsed as listed, in
+        # bounded batches. Nothing folder-related ever sits on the driver.
+        n_shards = int(list_shards)
+        sdf = (spark.createDataFrame([(i,) for i in range(n_shards)],
+                                     "shard int")
+               .repartition(n_shards, "shard"))
 
-    rows = fdf.mapInPandas(parse, _SESSION_SCHEMA)
+        def parse_shard(batches):
+            import zlib
+            for pdf in batches:
+                for shard in pdf["shard"]:
+                    if not os.path.isdir(root):
+                        continue
+                    buf: list[tuple] = []
+                    for e in os.scandir(root):
+                        if not e.is_dir():
+                            continue
+                        if zlib.crc32(e.name.encode()) % n_shards != shard:
+                            continue
+                        buf.append(parse_session_folder(e.path))
+                        if len(buf) >= 256:
+                            yield pd.DataFrame(buf, columns=cols)
+                            buf = []
+                    if buf:
+                        yield pd.DataFrame(buf, columns=cols)
+
+        rows = sdf.mapInPandas(parse_shard, _SESSION_SCHEMA)
+    else:
+        # ONE listing of the sessions root; folder names only (a 1M-session
+        # case is ~tens of MB of names — fine to fan out; past that use
+        # list_shards to shard the listing itself). A case with no sessions
+        # yet (or no sessions/ dir at all) is an empty result, not a crash.
+        folders = (sorted(e.path for e in os.scandir(root) if e.is_dir())
+                   if os.path.isdir(root) else [])
+        n_slices = min(max(len(folders) // 64, 1),
+                       spark.sparkContext.defaultParallelism * 4)
+        fdf = spark.createDataFrame(
+            [(p,) for p in folders],
+            "folder_path string").repartition(n_slices)
+
+        def parse(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [parse_session_folder(fp) for fp in pdf["folder_path"]],
+                    columns=cols)
+
+        rows = fdf.mapInPandas(parse, _SESSION_SCHEMA)
 
     sess = rows.select(
         "folder_name",

@@ -324,3 +324,41 @@ def test_no_synopsis_batch_stream_parity(spark, tmp_path):
     q.awaitTermination(120)
     srows = spark.sql("SELECT * FROM wt_nosyn").collect()
     assert len(srows) == 1 and srows[0].text == ""
+
+
+def test_rtf_uc_scoping_and_rich_fixture_parity():
+    """\\ucN is honored and group-scoped (RTF formatting-state semantics):
+    \\uc2 skips two fallback chars (bare or \\'xx escapes), a nested \\uc1
+    override dies with its group, \\uc0 skips none — and the rich
+    Word-authored fixture shape strips to the IDENTICAL text as the plain
+    shape, so the exact q_wiretap_ingest oracle covers it."""
+    from owl_n4j_spark.sources.wiretap import _render_rtf
+
+    assert rtf_to_text(r"{\rtf1\ansi\uc2 a\u233??b}") == "aéb"
+    assert rtf_to_text(r"{\rtf1\ansi\uc2 {\uc1 \u65?x}\u66??y}") == "AxBy"
+    assert rtf_to_text(r"{\rtf1\ansi\uc0 \u8364 X}") == "€X"
+    # fallbacks may themselves be \'xx escapes — one skip each
+    assert rtf_to_text("{\\rtf1\\ansi\\uc2 \\u233\\'e9\\'e9tail}") == "étail"
+
+    for with_syn in (True, False):
+        plain = parse_rtf(_render_rtf("Alice Smith", "Bob O'Neil",
+                                      with_synopsis=with_syn, rich=False))
+        rich = parse_rtf(_render_rtf("Alice Smith", "Bob O'Neil",
+                                     with_synopsis=with_syn, rich=True))
+        assert rich == plain
+    # rich fixtures exist at every sf (eid % 7): the oracle parity suite
+    # (scripts_dev/check_oracles.py q_wiretap_ingest) therefore covers them
+
+
+def test_sharded_listing_equals_flat(spark):
+    """list_shards=N (the >1M-session listing shard) returns the exact
+    same session multiset as the driver-listed flat path."""
+    from owl_n4j_spark.plans.kg_analytics import ensure_wiretap
+    from owl_n4j_spark.sources.wiretap import read_wiretap_sessions
+
+    case = ensure_wiretap(spark, SF)
+    flat = read_wiretap_sessions(spark, case)
+    sharded = read_wiretap_sessions(spark, case, list_shards=5)
+    assert sharded.count() == flat.count() > 0
+    assert sharded.exceptAll(flat).unionAll(
+        flat.exceptAll(sharded)).count() == 0
