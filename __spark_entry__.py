@@ -31,52 +31,48 @@ from owl_n4j_spark.sources import events_transcripts as et
 # The driver's correctness gate evaluates the FIRST 50 queries() entries.
 # The gate is an EXPLICIT list, rotated each round so every headline
 # operator accumulates driver-hash evidence over time (r2 verdict item 8):
-#   r4 priorities — (a) everything NEW or CHANGED this round: the
-#   multi-model-type XML reconciliation (q_xml_reconcile) + the extended
-#   dumps' existing readers (xml_ingest/attachments/intersection/case_scan),
-#   the wiretap folder parse, the docx/xlsx ingest + per-format manifest,
-#   the de-scaffolded rag_retrieve/answer, merge_audit and the pipeline
-#   core behind it, pagerank's cache-lifecycle change; (b) the four queries
-#   that never had a driver-hash row in r1-r3 (kg_cost_ledger, q_case_scan,
-#   q_extraction_intersection, q_value_quantiles — r3 verdict item 4);
-#   (c) the r2-green blocks rotated out in r3, back for a second row:
-#   the 13 kg_* serving queries, q_ann_ivf/q_emb_neardup_pairs, the small
-#   graph shapes, and the relational distinct-shape block.
-# Rotated OUT (all green in CORRECTNESS_r03, shapes unchanged): the
-# curation/text suite, geo suite, and big graph queries — every one stays
+#   r5 priorities — (a) the three queries with NO driver row across r1-r4:
+#   kg_display_contacts (r4 verdict item 4), q_media_features (real stdlib
+#   codecs, new this round), q_stream_parity (batch/stream reconciliation,
+#   new this round — §2.11 graduates from pytest-only to driver-hashed);
+#   (b) everything CHANGED this round: kg_degree_topn/kg_top_entities
+#   (distributed limit-then-rank), q_doc_ingest_formats (PDF tokenizer
+#   DOTALL fix), the wiretap suite (rich-RTF fixtures + \ucN group
+#   scoping + sharded listing); (c) the flagship pipeline core, every
+#   round; (d) the whole r1-only relational block (oldest evidence in the
+#   file set) + q_winnowing (r2-only); (e) the r3-green blocks rotated out
+#   in r4, back for a second row: big graph, geo, kg analytics, and the
+#   dedup/curation spine of the text suite.
+# Rotated OUT (all green in CORRECTNESS_r04, shapes unchanged): the
+# r2-green relational distinct-shape block, the small graph shapes, the
+# ANN pair, the XML ingest/reconcile/attachments block — every one stays
 # exact-oracle-checked locally by scripts_dev/check_oracles.py (all sfs)
-# and tests/test_oracle_parity.py. Late-r4 swap: q_wiretap_manifest (new
-# S6 reconciliation statuses, degenerate-session fixture classes) in,
-# q_distinct_approx (r2-green, shape unchanged) out.
-_GATE_R4 = [
-    # KG pipeline core (pipeline.py changed: rejected-pairs recovery,
-    # resume schema guard) + new/changed serving entries
-    "kg_triples", "kg_nodes", "kg_edges", "kg_manifest", "kg_merge_audit",
-    "kg_rag_retrieve", "kg_rag_answer", "kg_cost_ledger",
-    # new/changed ingest surface
-    "q_xml_reconcile", "q_wiretap_ingest", "kg_wiretap_triples",
-    "q_wiretap_manifest", "q_xml_ingest",
-    "q_xml_attachments", "q_extraction_intersection", "q_case_scan",
-    "q_doc_ingest_formats", "q_doc_ingest_manifest",
-    # never-driver-checked relational + changed pagerank
-    "q_value_quantiles", "q_pagerank",
-    # kg serving block (r2-green, second driver row)
-    "kg_mentioned_in", "kg_payment_facts", "kg_top_entities",
-    "kg_owner_inference", "kg_unified_contacts", "kg_date_closure",
-    "kg_entity_summaries", "kg_last_location", "kg_graph_summary",
-    "kg_thread_stats", "kg_degree_topn", "kg_timeline_page",
-    "kg_envelope_daily",
-    # ANN variants rotated out in r3
-    "q_ann_ivf", "q_emb_neardup_pairs",
-    # small graph shapes rotated out in r3
-    "q_graph_2hop", "q_lpa_communities", "q_graph_degree",
-    "q_graph_triangles",
-    # relational/window distinct-shape block (r2-green)
-    "q_rollup_revenue", "q_json_props",
-    "q_track_thinning", "q_pricing_summary", "q_top_customers",
-    "q_region_revenue", "q_order_priority_pivot", "q_customer_first_order",
-    "q_monthly_revenue", "q_customers_no_orders",
-    "q_customers_with_orders_semi",
+# and tests/test_oracle_parity.py.
+_GATE_R5 = [
+    # (a) never driver-checked
+    "kg_display_contacts", "q_media_features", "q_stream_parity",
+    # (b) changed this round
+    "kg_degree_topn", "kg_top_entities", "q_doc_ingest_formats",
+    "q_wiretap_ingest", "q_wiretap_manifest", "kg_wiretap_triples",
+    # (c) flagship pipeline core
+    "kg_triples", "kg_nodes", "kg_edges", "kg_manifest",
+    # (d) r1-only relational block + r2-only winnowing
+    "q_asof_prior_event", "q_comm_hub", "q_copresence_pairs",
+    "q_distinct_approx", "q_envelope_daily", "q_event_dedup",
+    "q_event_type_counts", "q_keyset_page", "q_nation_customer_stats",
+    "q_sessionize", "q_timeline_page", "q_top_parts", "q_user_thread_agg",
+    "q_value_histogram", "q_winnowing",
+    # (e) big graph suite (r3-green, rotated out in r4)
+    "q_betweenness", "q_louvain", "q_graph_cc", "q_graph_shortest_paths",
+    "q_graph_pair_paths", "q_community_supergraph",
+    # (e) geo suite (r3-green)
+    "q_convoys", "q_geo_copresence", "q_tower_coreg", "q_reverse_geocode",
+    # (e) kg analytics (r3-green)
+    "kg_fuzzy_resolve", "kg_insights", "kg_location_tiles", "kg_nl_route",
+    "kg_suggest_links",
+    # (e) text dedup/curation spine (r3-green)
+    "q_minhash_lsh_pairs", "q_neardup_clusters", "q_neardup_survivors",
+    "q_exact_dedup", "q_corpus_curation", "q_data_mix", "q_seq_pack",
 ]
 
 # KG pipeline over events-derived transcripts: shared across all kg_*
@@ -165,12 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # under pytest, where asserts can't be optimized away).
             assert name not in all_q, f"duplicate registry entry: {name}"
             all_q[name] = fn
-    missing = [n for n in _GATE_R4 if n not in all_q]
+    missing = [n for n in _GATE_R5 if n not in all_q]
     # uniqueness matters, not just length: a duplicated gate name would
     # shrink the scored set to 49 and promote an arbitrary 50th
-    assert not missing and len(set(_GATE_R4)) == len(_GATE_R4) == 50, (
-        missing, len(_GATE_R4))
-    q: dict[str, Callable] = {n: all_q[n] for n in _GATE_R4}
+    assert not missing and len(set(_GATE_R5)) == len(_GATE_R5) == 50, (
+        missing, len(_GATE_R5))
+    q: dict[str, Callable] = {n: all_q[n] for n in _GATE_R5}
     for name, fn in all_q.items():
         if name not in q:
             q[name] = fn

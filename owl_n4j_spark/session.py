@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default: min(16g, half of MemTotal), overridable via
+    $SPARK_DRIVER_MEM. 16g is tuned to the 128 GiB bench host (removes
+    measurable GC drag at bench scale); deriving from physical memory keeps
+    local-mode JVMs on smaller hosts/containers GC-throttled under their
+    own cap instead of growing until the OS OOM-kills them."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(16, int(total_gib // 2)))}g"
+    except (OSError, ValueError, IndexError):
+        pass
+    return "16g"
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "owl-n4j-spark",
@@ -54,9 +71,11 @@ def get_spark(
         # Single-JVM local mode: driver memory IS the executor heap. 16g
         # (vs the earlier 8g) removes measurable GC drag from the full
         # pipeline at bench scale — measured 10-30% on the heavy legs of
-        # the 1-vs-4 scaling pair on a 128 GiB host — while staying far
-        # from the host limit even with a few concurrent sessions.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # the 1-vs-4 scaling pair on a 128 GiB host — but the default is
+        # capped at half of MemTotal so smaller hosts stay safe; override
+        # with $SPARK_DRIVER_MEM (documented in README/OPERATORS).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

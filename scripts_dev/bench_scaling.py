@@ -89,12 +89,38 @@ def run_at(n_threads: int, n_turns: int) -> dict:
     t_full = time.time() - t0
 
     spark.stop()
+    # per-leg host-contention telemetry: a single-thread spin (~0.3 s on
+    # an idle core) after the leg, plus loadavg — so a super-linear or
+    # sub-0.8 efficiency reading is adjudicable from this file alone
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    spin = round(time.time() - t0, 3)
     return dict(threads=n_threads, t_extract=round(t_extract, 2),
                 extract_tps=round(n_turns / t_extract, 1) if t_extract == t_extract else -1,
                 t_full=round(t_full, 2),
                 full_tps=round(n_turns / t_full, 1),
                 n_records=n_records, n_triples=n_triples,
-                n_nodes=n_nodes, n_edges=n_edges)
+                n_nodes=n_nodes, n_edges=n_edges,
+                canary_spin_sec=spin,
+                loadavg_1m=round(os.getloadavg()[0], 2))
+
+
+def _caveat(eff_extract: float, eff_full: float) -> str:
+    """Super-linear thread scaling is physically implausible for this
+    workload — it means the LO leg ran inside an external-load window.
+    Stamp the caveat into the report itself so a reader of this file
+    alone cannot take the ratio at face value (r5 advice)."""
+    bad = [n for n, e in (("extraction", eff_extract), ("full-pipeline",
+                                                        eff_full))
+           if e > 1.05]
+    if not bad:
+        return ""
+    return ("\n> **Caveat:** the " + " and ".join(bad) + " efficiency "
+            "reads super-linear (>1.05) — a host-contention artifact "
+            "inflating the lo leg, not real scaling; re-run on a quiet "
+            "host or use the clean pair logged in BENCH/BASELINE.md.\n")
 
 
 def main():
@@ -134,6 +160,10 @@ core-starving the top measurement in a way a real 4N-executor cluster is not.
   {PARTITIONS} input partitions (deterministic; `owl_n4j_spark.synth`).
 - Output parity: both runs emit {r8['n_triples']:,} triples /
   {r8['n_nodes']:,} nodes / {r8['n_edges']:,} edges (asserted equal).
+- Host context (idle spin canary ~0.3 s, see bench.py): after lo leg
+  spin={r8['canary_spin_sec']} s / loadavg={r8['loadavg_1m']}; after hi leg
+  spin={r32['canary_spin_sec']} s / loadavg={r32['loadavg_1m']}.
+{_caveat(eff_extract, eff_full)}
 
 | stage | local[{N_LO}] | local[{N_HI}] | speedup | scaling efficiency |
 |---|---|---|---|---|
