@@ -103,6 +103,27 @@ def main():
         out[f"{name}_sec"] = round(time.time() - t, 1)
         out[f"{name}_rows"] = n
 
+    # --- kg serving block at 10x (r4 verdict item 7): the O(aggregate)
+    # serving shapes — thread stats, unified contacts, keyset page, and
+    # the post-fix distributed limit-then-rank top-N pair — measured on
+    # the committed warehouse, with the one-time build timed apart ---
+    from owl_n4j_spark.plans.kg_analytics import (
+        kg_degree_topn, kg_graph_summary, kg_result, kg_thread_stats,
+        kg_timeline_page, kg_top_entities, kg_unified_contacts)
+    t = time.time()
+    kg_result(spark, DST)["edges"].count()
+    out["kg_warehouse_build_sec"] = round(time.time() - t, 1)
+    for name, fn in [("kg_thread_stats", kg_thread_stats),
+                     ("kg_unified_contacts", kg_unified_contacts),
+                     ("kg_timeline_page", kg_timeline_page),
+                     ("kg_degree_topn", kg_degree_topn),
+                     ("kg_top_entities", kg_top_entities),
+                     ("kg_graph_summary", kg_graph_summary)]:
+        t = time.time()
+        n = fn(spark, DST).count()
+        out[f"{name}_sec"] = round(time.time() - t, 1)
+        out[f"{name}_rows"] = n
+
     # --- ingestion at 10x: path-based dump parse + folder-unit scan ---
     # 10x events -> ~1M turns across the same 8 dump files (each file 10x
     # bigger: exercises the stream-from-disk parse, not just more tasks)

@@ -5,14 +5,14 @@ gate: a registry name collision pairs a query with another entry's
 oracle, and a duplicated gate name shrinks the scored set to 49."""
 
 import __spark_entry__ as e
-from __spark_entry__ import _GATE_R4
+from __spark_entry__ import _GATE_R5
 
 
 def test_gate_is_50_unique_and_first():
-    assert len(_GATE_R4) == 50
-    assert len(set(_GATE_R4)) == 50
+    assert len(_GATE_R5) == 50
+    assert len(set(_GATE_R5)) == 50
     qs = e.queries()
-    assert list(qs)[:50] == _GATE_R4
+    assert list(qs)[:50] == _GATE_R5
 
 
 def test_registries_are_disjoint_and_oracles_consistent():
