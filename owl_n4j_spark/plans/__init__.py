@@ -20,6 +20,7 @@ value-hash comparison holds):
 from owl_n4j_spark.plans.geo import GEO_REGISTRY
 from owl_n4j_spark.plans.graph_algos import GRAPH_REGISTRY
 from owl_n4j_spark.plans.kg_analytics import KG_ANALYTICS_REGISTRY
+from owl_n4j_spark.plans.media import MEDIA_REGISTRY
 from owl_n4j_spark.plans.relational import RELATIONAL_REGISTRY
 from owl_n4j_spark.plans.text import TEXT_REGISTRY
 
@@ -29,3 +30,4 @@ REGISTRY.update(TEXT_REGISTRY)
 REGISTRY.update(GRAPH_REGISTRY)
 REGISTRY.update(GEO_REGISTRY)
 REGISTRY.update(KG_ANALYTICS_REGISTRY)
+REGISTRY.update(MEDIA_REGISTRY)
