@@ -14,20 +14,39 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem() -> str:
-    """Driver-heap default: min(16g, half of MemTotal), overridable via
-    $SPARK_DRIVER_MEM. 16g is tuned to the 128 GiB bench host (removes
-    measurable GC drag at bench scale); deriving from physical memory keeps
-    local-mode JVMs on smaller hosts/containers GC-throttled under their
-    own cap instead of growing until the OS OOM-kills them."""
+    """Driver-heap default: min(16g, half of min(MemTotal, cgroup limit)),
+    overridable via $SPARK_DRIVER_MEM. 16g is tuned to the 128 GiB bench
+    host (removes measurable GC drag at bench scale); deriving from the
+    EFFECTIVE memory keeps local-mode JVMs on smaller hosts/containers
+    GC-throttled under their own cap instead of growing until the OS
+    OOM-kills them. /proc/meminfo reports HOST RAM even inside a
+    memory-limited container, so the cgroup limit (v2 memory.max, v1
+    memory.limit_in_bytes) is consulted too and the smaller bound wins."""
+    total_b = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    total_gib = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(1, min(16, int(total_gib // 2)))}g"
+                    total_b = int(line.split()[1]) * 1024
+                    break
     except (OSError, ValueError, IndexError):
         pass
-    return "16g"
+    for p in ("/sys/fs/cgroup/memory.max",
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+            if raw.isdigit():           # "max" (v2) / huge sentinel = no cap
+                cap = int(raw)
+                if cap < (1 << 60) and (total_b is None or cap < total_b):
+                    total_b = cap
+            break                       # first existing file decides
+        except OSError:
+            continue
+    if total_b is None:
+        return "16g"
+    total_gib = total_b / (1024 ** 3)
+    return f"{max(1, min(16, int(total_gib // 2)))}g"
 
 
 def get_spark(
@@ -76,6 +95,19 @@ def get_spark(
         # with $SPARK_DRIVER_MEM (documented in README/OPERATORS).
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
+        # Distributed file-listing task count. Spark's default is 10,000
+        # tasks whenever a scan/stream source must list > threshold (32)
+        # paths — sized for object-store clusters with thousands of cores.
+        # At any smaller parallelism the fixed per-task scheduling cost
+        # dominates the listing itself (measured: the 20k-session wiretap
+        # streaming source's catch-up listing ran a 10,000-task job taking
+        # 80+ s on local[32]; at 4x core-count tasks the same listing is
+        # ~1 s). Deriving from the session's parallelism keeps the knob
+        # scale-adaptive — a 2,000-core cluster gets 8,000 listing tasks —
+        # and $SPARK_LIST_PARALLELISM overrides for exotic deployments.
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+                os.environ.get("SPARK_LIST_PARALLELISM",
+                               str(min(10000, max(64, 4 * shuffle_partitions)))))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
