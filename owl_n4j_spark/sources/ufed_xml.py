@@ -85,39 +85,37 @@ def _sexagesimal(dec: float) -> tuple[str, str]:
     return f"{deg}, {mnt}, {sec}", ref
 
 
-def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
-    """(conv_id, turn_idx) -> attachment-model XML snippet.
+def _field(name: str, value, ftype: str = "String") -> str:
+    return (f'    <field name="{name}" type="{ftype}">'
+            f'<value>{escape(str(value))}</value></field>\n')
 
-    Purchase turns carry a receipt image (size = the payment in cents);
-    click/travel turns carry a photo whose EXIF header holds the visited
-    city's GPS as sexagesimal strings — the taggedFiles/header metadata the
-    reference's parser normalizes (SURVEY S3, parser.py:33-77)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
+def _render_dump(i: int, turns_pdf, ev_pdf, pers, out_dir: str) -> None:
+    """Render ONE dump file from its slice of turns + events (the
+    distributed unit of write_ufed_xml). Byte-identical to the former
+    driver-side loop: conversations in conv_id order, attachments inline
+    on purchase/click turns, non-chat model sections after the Chat
+    section in sorted-type order with models in event order."""
+    from owl_n4j_spark.functions.keys import normalise_key
     from owl_n4j_spark.plans.kg_analytics import CITY_COORDS
     from owl_n4j_spark.synth import CITIES
 
-    from owl_n4j_spark.functions.keys import normalise_key
     coords = [CITY_COORDS[normalise_key(c)] for c in CITIES]
+    ev_pdf = ev_pdf.sort_values("event_id")
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pdf = (ev.select(
-        F.format_string("conv-%05d", F.col("user_id")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        "event_type", "value", "event_id", "ts")
-        .filter(F.col("event_type").isin("purchase", "click"))
-        .toPandas())
-    out = {}
-    for r in pdf.itertuples(index=False):
+    # attachment snippets for this dump's purchase/click turns
+    att: dict[tuple, str] = {}
+    for r in ev_pdf.itertuples(index=False):
+        if r.event_type not in ("purchase", "click"):
+            continue
+        conv_id = f"conv-{int(r.user_id):05d}"
         exif_dt = r.ts.strftime("%Y:%m:%d %H:%M:%S")
         if r.event_type == "purchase":
-            name = f"receipt_{r.conv_id}_{r.turn_idx}.jpg"
+            name = f"receipt_{conv_id}_{r.turn_idx}.jpg"
             size = int(("%.2f" % r.value).replace(".", ""))
             gps = ""
         else:
-            name = f"photo_{r.conv_id}_{r.turn_idx}.jpg"
+            name = f"photo_{conv_id}_{r.turn_idx}.jpg"
             size = int(r.event_id) % 100000 + 1000
             lat, lon = coords[int(r.event_id) % len(CITIES)]
             la, la_ref = _sexagesimal(lat)
@@ -132,10 +130,10 @@ def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
                 f'<value>{lo}</value></field>\n'
                 f'        <field name="GPSLongitudeRef" type="String">'
                 f'<value>{lo_ref}</value></field>\n')
-        out[(r.conv_id, r.turn_idx)] = (
+        att[(conv_id, int(r.turn_idx))] = (
             '      <multiModelField name="Attachments" type="Attachment">\n'
             f'       <model type="Attachment" '
-            f'id="{r.conv_id}#{r.turn_idx}#a0">\n'
+            f'id="{conv_id}#{r.turn_idx}#a0">\n'
             f'        <field name="Filename" type="String">'
             f'<value>{name}</value></field>\n'
             '        <field name="ContentType" type="String">'
@@ -147,130 +145,68 @@ def _attachment_xml(spark: SparkSession, sf_dir: str) -> dict:
             f'{gps}'
             '       </model>\n'
             '      </multiModelField>\n')
-    return out
 
+    # non-chat model sections for this dump. A real UFED dump carries
+    # dozens of model types beyond chats; the fixture mirrors the
+    # reconciliation-relevant classes, each relationally derivable from
+    # the driver tables so q_xml_reconcile has an exact oracle:
+    #   Call          one per 'view' event            -> 1:1 writer, ok
+    #   Location      one per 'click' event           -> 1:1 writer, ok
+    #   Contact       one per distinct user; Phone OMITTED when
+    #                 user_id % 7 == 3 and the writer requires it ->
+    #                 persisted < xml, the "under" regression class
+    #   Cookie        one per 'signup' event, NO writer -> not_supported
+    #   CalendarEntry one per 'error' event, deliberately skipped
+    types: dict[str, list[str]] = {}
 
-def _field(name: str, value, ftype: str = "String") -> str:
-    return (f'    <field name="{name}" type="{ftype}">'
-            f'<value>{escape(str(value))}</value></field>\n')
-
-
-def _extra_model_sections(spark: SparkSession, sf_dir: str,
-                          n_files: int) -> dict:
-    """dump index -> XML for the NON-Chat top-level modelType sections.
-
-    A real UFED dump carries dozens of model types beyond chats
-    (CELLEBRITE_INGEST_AUDIT.md's per-phone tables); the fixture mirrors the
-    reconciliation-relevant classes, each relationally derivable from the
-    driver tables so q_xml_reconcile has an exact oracle:
-
-      Call          one per 'view' event            -> 1:1 writer, ok
-      Location      one per 'click' event           -> 1:1 writer, ok
-      Contact       one per distinct user; the Phone field is OMITTED when
-                    user_id % 7 == 3, and the Contact writer requires it ->
-                    persisted < xml, the "under" regression class (the
-                    reference's SearchedItem 37/71 lesson)
-      Cookie        one per 'signup' event, NO writer -> not_supported (the
-                    reference's silently-dropped-45k-events lesson)
-      CalendarEntry one per 'error' event, deliberately skipped
-    """
-    from owl_n4j_spark.sources.events_transcripts import persons_df
-    from owl_n4j_spark.synth import CITIES
-
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .select("event_id", "ts", "user_id", "event_type").toPandas())
-    pers = persons_df(spark).toPandas().set_index("idx")
-    sections: dict[int, dict[str, list[str]]] = {
-        i: {} for i in range(n_files)}
-
-    def add(dump: int, mtype: str, mid: str, fields: str):
-        sections[dump].setdefault(mtype, []).append(
+    def add(mtype: str, mid: str, fields: str):
+        types.setdefault(mtype, []).append(
             f'   <model type="{mtype}" id="{mid}">\n{fields}   </model>\n')
 
-    for r in ev.itertuples(index=False):
-        dump = int(r.user_id) % n_files
+    for r in ev_pdf.itertuples(index=False):
         iso = r.ts.isoformat()
         if r.event_type == "view":
-            add(dump, "Call", f"call-{r.event_id}",
+            add("Call", f"call-{r.event_id}",
                 _field("TimeStamp", iso, "TimeStamp")
                 + _field("Direction", "Outgoing"))
         elif r.event_type == "click":
             city = CITIES[int(r.event_id) % len(CITIES)]
-            add(dump, "Location", f"loc-{r.event_id}",
+            add("Location", f"loc-{r.event_id}",
                 _field("TimeStamp", iso, "TimeStamp")
                 + _field("Name", city))
         elif r.event_type == "signup":
-            add(dump, "Cookie", f"ck-{r.event_id}",
+            add("Cookie", f"ck-{r.event_id}",
                 _field("Domain", "example.test")
                 + _field("LastAccessTime", iso, "TimeStamp"))
         elif r.event_type == "error":
-            add(dump, "CalendarEntry", f"cal-{r.event_id}",
+            add("CalendarEntry", f"cal-{r.event_id}",
                 _field("TimeStamp", iso, "TimeStamp")
                 + _field("Subject", "sync"))
-    for uid in sorted(int(u) for u in ev["user_id"].unique()):
+    for uid in sorted(int(u) for u in ev_pdf["user_id"].unique()):
         row = pers.loc[uid]
         fields = _field("Name", row.full_name)
         if uid % 7 != 3:
             fields += _field("Phone", row.jid.split("@")[0])
-        add(uid % n_files, "Contact", f"ct-{uid}", fields)
+        add("Contact", f"ct-{uid}", fields)
+    extra_parts = []
+    for mtype in sorted(types):
+        extra_parts.append(f'  <modelType type="{mtype}">\n')
+        extra_parts.extend(types[mtype])
+        extra_parts.append('  </modelType>\n')
 
-    out = {}
-    for i, types in sections.items():
-        parts = []
-        for mtype in sorted(types):
-            parts.append(f'  <modelType type="{mtype}">\n')
-            parts.extend(types[mtype])
-            parts.append('  </modelType>\n')
-        out[i] = "".join(parts)
-    return out
-
-
-def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
-                   n_files: int = UFED_N_FILES) -> str:
-    """Render the events-derived transcripts as UFED-shaped XML dumps.
-
-    Conversations are split across ``n_files`` by a deterministic hash so
-    the reader has multiple parallel units. Messages carry decoy fields and
-    attributes the parser must skip (deleted-state, user-mapping, labels) —
-    mirroring the real format's width."""
-    from zlib import crc32
-
-    from owl_n4j_spark.sources.events_transcripts import transcripts_from_events
-
-    pdf = (transcripts_from_events(spark, sf_dir)
-           .toPandas()
-           .sort_values(["conv_id", "turn_idx"]))
-    att = _attachment_xml(spark, sf_dir)
-    extra = _extra_model_sections(spark, sf_dir, n_files)
-    os.makedirs(out_dir, exist_ok=True)
-    # a non-report decoy the case scan must classify as 'other'
-    with open(os.path.join(out_dir, "case_notes.txt"), "w",
-              encoding="utf-8") as f:
-        f.write("investigator notes - not evidence\n")
-    handles = {}
-    try:
-        for i in range(n_files):
-            h = open(os.path.join(out_dir, f"dump_{i:03d}.xml"), "w",
-                     encoding="utf-8")
-            h.write('<?xml version="1.0" encoding="utf-8"?>\n')
-            h.write(f'<project xmlns="{XML_NS}" name="case-001">\n'
-                    ' <decodedData>\n  <modelType type="Chat">\n')
-            handles[i] = h
-
-        cur_conv, cur_h = None, None
-        for row in pdf.itertuples(index=False):
+    turns_pdf = turns_pdf.sort_values(["conv_id", "turn_idx"])
+    with open(os.path.join(out_dir, f"dump_{i:03d}.xml"), "w",
+              encoding="utf-8") as h:
+        h.write('<?xml version="1.0" encoding="utf-8"?>\n')
+        h.write(f'<project xmlns="{XML_NS}" name="case-001">\n'
+                ' <decodedData>\n  <modelType type="Chat">\n')
+        cur_conv = None
+        for row in turns_pdf.itertuples(index=False):
             if row.conv_id != cur_conv:
-                if cur_h is not None:
-                    cur_h.write('    </multiModelField>\n   </model>\n')
+                if cur_conv is not None:
+                    h.write('    </multiModelField>\n   </model>\n')
                 cur_conv = row.conv_id
-                # conversation -> dump assignment must be relationally
-                # derivable (the extraction-intersection oracle recomputes
-                # it): numeric conv ids split by modulus, anything else by
-                # crc32 fallback
-                m = re.fullmatch(r"conv-(\d+)", cur_conv)
-                fno = (int(m.group(1)) if m else crc32(cur_conv.encode()))
-                cur_h = handles[fno % n_files]
-                cur_h.write(
+                h.write(
                     f'   <model type="Chat" id="{escape(cur_conv)}" '
                     'deleted_state="Intact">\n'
                     '    <field name="Source" type="String">'
@@ -282,7 +218,7 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
             ts = ("" if row.ts is None else
                   f'      <field name="TimeStamp" type="TimeStamp">'
                   f'<value>{row.ts.isoformat()}</value></field>\n')
-            cur_h.write(
+            h.write(
                 f'     <model type="InstantMessage" '
                 f'id="{escape(cur_conv)}#{row.turn_idx}">\n'
                 f'{ts}'
@@ -292,20 +228,84 @@ def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
                 '       <field name="Role" type="String">'
                 '<value>From</value></field>\n'
                 '      </modelField>\n'
-                f'{att.get((row.conv_id, row.turn_idx), "")}'
+                f'{att.get((row.conv_id, int(row.turn_idx)), "")}'
                 '      <field name="Body" type="String">'
                 f'<value>{escape(row.text or "")}</value></field>\n'
                 '      <field name="Label" type="String"><empty/></field>\n'
                 '     </model>\n')
-        if cur_h is not None:
-            cur_h.write('    </multiModelField>\n   </model>\n')
-        for i, h in handles.items():
-            h.write('  </modelType>\n')          # close the Chat section
-            h.write(extra.get(i, ""))            # non-chat model sections
-            h.write(' </decodedData>\n</project>\n')
-    finally:
-        for h in handles.values():
-            h.close()
+        if cur_conv is not None:
+            h.write('    </multiModelField>\n   </model>\n')
+        h.write('  </modelType>\n')          # close the Chat section
+        h.write("".join(extra_parts))        # non-chat model sections
+        h.write(' </decodedData>\n</project>\n')
+
+
+def write_ufed_xml(spark: SparkSession, sf_dir: str, out_dir: str,
+                   n_files: int = UFED_N_FILES) -> str:
+    """Render the events-derived transcripts as UFED-shaped XML dumps.
+
+    Conversations are split across ``n_files`` by a deterministic hash so
+    the reader has multiple parallel units. Messages carry decoy fields and
+    attributes the parser must skip (deleted-state, user-mapping, labels) —
+    mirroring the real format's width.
+
+    DISTRIBUTED RENDER: one task per dump file via a cogrouped
+    ``applyInPandas`` — each task receives exactly its dump's turns and
+    events and renders/writes the whole file locally (the former shape
+    collected every turn to the driver and rendered all dumps in one
+    serial loop — the slowest fixture leg of the bench, and O(case) driver
+    memory). Only the small person dim rides the closure; bytes written
+    are identical (asserted by the turn-for-turn parse-back tests and a
+    one-off byte diff at sf0.1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from owl_n4j_spark.sources.events_transcripts import (
+        persons_df,
+        transcripts_from_events,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    # a non-report decoy the case scan must classify as 'other'
+    with open(os.path.join(out_dir, "case_notes.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("investigator notes - not evidence\n")
+
+    pers = persons_df(spark).toPandas().set_index("idx")
+
+    # conversation -> dump assignment must be relationally derivable (the
+    # extraction-intersection oracle recomputes it): numeric conv ids
+    # split by modulus, anything else by crc32 fallback (F.crc32 and
+    # zlib.crc32 are both standard CRC-32 — identical values)
+    conv_num = F.regexp_extract("conv_id", r"^conv-(\d+)$", 1)
+    fno = (F.when(conv_num != "", conv_num.cast("bigint") % n_files)
+           .otherwise(F.crc32(F.col("conv_id").cast("binary")) % n_files)
+           ).cast("int")
+    turns = transcripts_from_events(spark, sf_dir).withColumn("fno", fno)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    evx = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select("event_id", "ts", "user_id", "event_type", "value")
+           .withColumn("turn_idx",
+                       (F.row_number().over(w) - 1).cast("int"))
+           .withColumn("fno", (F.col("user_id") % n_files).cast("int")))
+
+    def render(key, turns_pdf, ev_pdf):
+        _render_dump(int(key[0]), turns_pdf, ev_pdf, pers, out_dir)
+        return pd.DataFrame({"fno": [int(key[0])]})
+
+    done = (turns.groupBy("fno").cogroup(evx.groupBy("fno"))
+            .applyInPandas(render, "fno int").collect())
+    # a dump index with no conversations AND no events still gets its
+    # skeleton file (the former loop opened every handle up front)
+    for i in set(range(n_files)) - {r["fno"] for r in done}:
+        with open(os.path.join(out_dir, f"dump_{i:03d}.xml"), "w",
+                  encoding="utf-8") as h:
+            h.write('<?xml version="1.0" encoding="utf-8"?>\n')
+            h.write(f'<project xmlns="{XML_NS}" name="case-001">\n'
+                    ' <decodedData>\n  <modelType type="Chat">\n'
+                    '  </modelType>\n </decodedData>\n</project>\n')
     return out_dir
 
 

@@ -315,43 +315,66 @@ def write_wiretap_folders(spark: SparkSession, sf_dir: str,
     session's triples forever. With the marker last, .sri arrival means
     the folder is complete; an .sri-only folder genuinely has no
     interpretation (the reference allows that) and text='' is correct."""
+    import pandas as pd
+
     from owl_n4j_spark.sources.events_transcripts import persons_df
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .filter(F.col("event_type") == "view")
-          .select("event_id", "ts", "user_id").toPandas())
+          .select("event_id", "ts", "user_id"))
     pers = persons_df(spark).toPandas().set_index("idx")
     root = os.path.join(out_dir, "sessions")
     os.makedirs(root, exist_ok=True)
-    for r in ev.itertuples(index=False):
-        eid = int(r.event_id)
-        uid = int(r.user_id)
-        a, b = pers.loc[uid], pers.loc[uid + 1]
-        folder = os.path.join(root, f"{eid:08d}")
-        os.makedirs(folder, exist_ok=True)
-        start = r.ts.strftime("%Y-%m-%d %H:%M:%S")
-        sri = (
-            "version=2\n"
-            f"input_line_id={_fmt_line_id(a.jid.split('@')[0])}\n"
-            f"start_string={start} CST\n"
-            f"session_length={eid % 900 + 30}\n"
-            "time_zone=CST\n"
-            f"contact_id=FMI={eid % 1000},{eid * 7 % 1000},"
-            f"{eid * 13 % 10000}\n")
-        # every 7th session ships the Word-authored rich-markup shape
-        # (nested groups, \uc2/\uN, hex escapes) — strips to the SAME text
-        rtf = _render_rtf(a.full_name, b.full_name,
-                          with_synopsis=eid % 89 != 0, rich=eid % 7 == 0)
-        skip_syn = eid % 41 == 0         # transcriber never delivered
-        if not skip_syn:
-            with open(os.path.join(folder, f"{eid:08d}.syn.rtf"), "w") as f:
-                f.write(rtf)
-        if eid % 10 == 0 or (skip_syn and eid % 2 == 0):
-            with open(os.path.join(folder, "notes.rtf"), "w") as f:
-                f.write("{\\rtf1\\ansi DRAFT - do not use\\par}")
-        # marker LAST — see the write-order contract in the docstring
-        with open(os.path.join(folder, f"{eid:08d}.sri"), "w") as f:
-            f.write(sri)
+
+    # Folder rendering is embarrassingly parallel (each session's bytes
+    # depend only on its own event row + the small person dim, shipped in
+    # the closure), so it runs as a distributed map — the serial driver
+    # loop this replaces was the bench's slowest fixture leg (one core
+    # formatting and fsyncing 20k folders while 31 idled). Per-folder
+    # content and write order (rtf files first, .sri marker LAST) are
+    # unchanged; tasks never share a folder, so parallelism cannot
+    # reorder anything the write-order contract cares about.
+    def write_batch(batches):
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                eid = int(r.event_id)
+                uid = int(r.user_id)
+                a, b = pers.loc[uid], pers.loc[uid + 1]
+                folder = os.path.join(root, f"{eid:08d}")
+                os.makedirs(folder, exist_ok=True)
+                start = r.ts.strftime("%Y-%m-%d %H:%M:%S")
+                sri = (
+                    "version=2\n"
+                    f"input_line_id={_fmt_line_id(a.jid.split('@')[0])}\n"
+                    f"start_string={start} CST\n"
+                    f"session_length={eid % 900 + 30}\n"
+                    "time_zone=CST\n"
+                    f"contact_id=FMI={eid % 1000},{eid * 7 % 1000},"
+                    f"{eid * 13 % 10000}\n")
+                # every 7th session ships the Word-authored rich-markup
+                # shape (nested groups, \uc2/\uN, hex escapes) — strips
+                # to the SAME text
+                rtf = _render_rtf(a.full_name, b.full_name,
+                                  with_synopsis=eid % 89 != 0,
+                                  rich=eid % 7 == 0)
+                skip_syn = eid % 41 == 0   # transcriber never delivered
+                if not skip_syn:
+                    with open(os.path.join(folder, f"{eid:08d}.syn.rtf"),
+                              "w") as f:
+                        f.write(rtf)
+                if eid % 10 == 0 or (skip_syn and eid % 2 == 0):
+                    with open(os.path.join(folder, "notes.rtf"), "w") as f:
+                        f.write("{\\rtf1\\ansi DRAFT - do not use\\par}")
+                # marker LAST — see the write-order contract above
+                with open(os.path.join(folder, f"{eid:08d}.sri"), "w") as f:
+                    f.write(sri)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    (ev.repartition(spark.sparkContext.defaultParallelism * 2)
+     .mapInPandas(write_batch, "n long")
+     .agg(F.sum("n")).collect())
     return out_dir
 
 
