@@ -15,10 +15,11 @@ fixpoint. Labels are priority-prefixed ("0|phone-..." < "1|email-..." <
 by the reference's key cascade priority (phone > email > app-id > name).
 
 Skew: the documented hub entities (70k+ relationships — BASELINE.md) make
-the per-destination min-aggregation skewed. The aggregation is algebraic, so
-we salt explicitly: partial min per (dst, salt) then final min per dst —
-two map-side-combinable aggs with bounded partition sizes — in addition to
-AQE skew-join splitting on the label join.
+the per-destination min-aggregation skewed. The aggregation is algebraic,
+so Spark's hash aggregate bounds it by construction: map-side partial
+aggregation emits one row per destination per map task, so a hub's
+reduce-side fan-in is O(map tasks) — plus AQE skew-join splitting on the
+label join.
 """
 
 from __future__ import annotations
@@ -28,8 +29,6 @@ from pyspark.sql import functions as F
 
 from owl_n4j_spark.functions.keys import key_priority_col
 
-N_SALTS = 16
-
 
 def connected_components(
     edges: DataFrame,
@@ -38,7 +37,7 @@ def connected_components(
 ) -> DataFrame:
     """edges(src,dst) -> DataFrame(member_key, canonical_key).
 
-    Hash-min label propagation with priority-prefixed labels, salted
+    Hash-min label propagation with priority-prefixed labels, map-side
     partial aggregation, and lineage truncation via localCheckpoint.
     Converges in O(diameter) rounds; alias graphs are near-star-shaped
     (diameter <= ~4), so this is a handful of cheap shuffles.
@@ -71,12 +70,17 @@ def connected_components(
     )
 
     for it in range(max_iter):
-        # neighbour minimum, salted two-stage (explicit hub-skew handling)
+        # Neighbour minimum: ONE hash aggregation. min() is algebraic, so
+        # Spark's hash aggregate partially aggregates map-side — every map
+        # task emits at most one row per destination, which already bounds
+        # a hub's reduce-side fan-in at O(map tasks). The earlier explicit
+        # (b, salt) pre-aggregation re-implemented exactly that bound at
+        # the price of a SECOND full shuffle per round — removed (guide
+        # §2.3/§2.5: partial aggregation IS the skew handling for
+        # algebraic aggs; salting is for non-combinable shapes).
         nbr = (
             sym.join(labels.withColumnRenamed("v", "a"), on="a")
-            .withColumn("salt", F.pmod(F.xxhash64("a"), F.lit(N_SALTS)))
-            .groupBy("b", "salt").agg(F.min("comp").alias("comp_p"))
-            .groupBy("b").agg(F.min("comp_p").alias("nbr_comp"))
+            .groupBy("b").agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("b", "v")
         )
         new_labels = (
@@ -87,13 +91,13 @@ def connected_components(
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         labels = new_labels.drop("changed")
-        # Convergence is polled every OTHER round: the poll is a driver
-        # action (one extra job per round, O(diameter) of them), and hash-min
-        # can only over-run by one cheap no-op round — at scale the poll
-        # latency costs more than the skipped round (VERDICT r01 perf note).
-        if it % 2 == 1 or it == max_iter - 1:
-            if new_labels.filter(F.col("changed")).limit(1).isEmpty():
-                break
+        # Convergence poll every round: on the just-checkpointed frame the
+        # poll is a first-partition metadata scan (~tens of ms), while one
+        # skipped-poll no-op round costs a full join+agg+checkpoint — the
+        # every-other-round economy was tuned for the pre-AQE shape where
+        # the poll launched a 32-task job.
+        if new_labels.filter(F.col("changed")).limit(1).isEmpty():
+            break
 
     return labels.select(
         F.col("v").alias("member_key"),

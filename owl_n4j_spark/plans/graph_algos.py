@@ -44,7 +44,12 @@ def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir)
     if key not in _EDGE_CACHE:
         ev = load(spark, sf_dir, "events")
-        m = ev.select(F.date_format("ts", "yyyy-MM-dd HH").alias("h"),
+        # hour bucket as an int64 epoch-hour, not a formatted string: the
+        # bucket is bijective with date_format('yyyy-MM-dd HH') under the
+        # session's fixed UTC zone, and an 8-byte key shuffles/sorts
+        # cheaper than a 13-char string through the distinct + self-join
+        # (guide §2.3: narrower types shuffle fewer bytes)
+        m = ev.select(F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
                       "user_id").distinct()
         y = m.select(F.col("h"), F.col("user_id").alias("user_b"))
         edges = (

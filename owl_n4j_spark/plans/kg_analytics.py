@@ -1061,14 +1061,23 @@ def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = s.agg(
             F.count("*").alias("rows_stream"),
             F.countDistinct("conv_id").alias("convs_stream"))
-        # exceptAll both ways: multiset equality, so a duplicated-then-
-        # dropped row pair can't cancel out the way count comparison would
-        diff = (s.exceptAll(b).unionAll(b.exceptAll(s))
-                .agg(F.count("*").alias("n_diff")))
+        # Multiset equality as ONE signed-count aggregation: tag stream
+        # rows +1 / batch rows -1, group by the full row, and the multisets
+        # are equal iff every group's net is 0 (sum |net| == 0). Exactly
+        # the two-way exceptAll predicate — a duplicated-then-dropped pair
+        # still shows as net +1/-1 — but it costs one shuffle of each input
+        # instead of the four wide scans + two join-shaped shuffles the
+        # exceptAll pair compiled to (guide §2.4: remove shuffles outright).
+        diff = (
+            s.withColumn("__tag", F.lit(1))
+            .unionAll(b.withColumn("__tag", F.lit(-1)))
+            .groupBy(*cols).agg(F.sum("__tag").alias("__net"))
+            .agg(F.sum(F.abs(F.col("__net"))).alias("n_diff")))
         return (stats.crossJoin(diff)
                 .select(F.lit(source).alias("source"),
                         "rows_stream", "convs_stream",
-                        (F.col("n_diff") == 0).alias("stream_equals_batch")))
+                        (F.coalesce(F.col("n_diff"), F.lit(0)) == 0)
+                        .alias("stream_equals_batch")))
 
     xml = leg("ufed_xml", read_ufed_xml(spark, xml_dir),
               spark.read.parquet(sx))

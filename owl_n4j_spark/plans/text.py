@@ -399,36 +399,56 @@ shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle))
 """
 
 
+_JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, common, jaccard) for word-trigram Jaccard >= 0.2 over
+    capped shingles — MATERIALIZED once per (session, sf): the pairwise
+    equi-join is the expensive leg of the near-dup family and THREE queries
+    consume exactly this pair set (q_ngram_jaccard_pairs, the
+    q_neardup_survivors prune, the q_corpus_curation near-dup stage —
+    per-pair common/n_a/n_b depend only on the two docs, so the curation
+    stage's survivor restriction is a semi-join on the endpoints, not a
+    recompute). Same shared-subplan discipline as _shingles_df."""
+    from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
+    key = _cache_key(spark, sf_dir)
+    if key not in _JACCARD_PAIRS_CACHE:
+        sh = _capped_shingles(_shingles_df(spark, sf_dir))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = (
+            a.join(b, on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("common"))
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("n_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("n_b")), "doc_b")
+            .withColumn("jaccard", stable_round(
+                F.col("common") / (F.col("n_a") + F.col("n_b")
+                                   - F.col("common")), 6))
+            .filter(F.col("jaccard") >= 0.2)
+            .select("doc_a", "doc_b", "common", "jaccard")
+        )
+        path = warehouse_dir(spark, sf_dir, "jaccard_pairs")
+        pairs.write.mode("overwrite").parquet(path)
+        _JACCARD_PAIRS_CACHE[key] = spark.read.parquet(path)
+    return _JACCARD_PAIRS_CACHE[key]
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-trigram Jaccard >= 0.2 over
     non-stop shingles (document frequency <= SHINGLE_MAX_DOCS).
 
     Scale shape: explode shingles -> stop-shingle cap -> equi-join on
-    shingle (every bucket bounded by the cap) -> group by pair.
-    """
-    sh = _capped_shingles(_shingles_df(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        pairs
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
-        .withColumn("jaccard", stable_round(
-            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
-        .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "common", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    shingle (every bucket bounded by the cap) -> group by pair; the pair
+    table itself is the shared _jaccard_pairs_df warehouse."""
+    return (_jaccard_pairs_df(spark, sf_dir)
+            .orderBy("doc_a", "doc_b"))
 
 
 SQL_NGRAM_JACCARD_PAIRS = rf"""
@@ -453,37 +473,65 @@ N_MINHASH = 8
 LSH_ROWS_PER_BAND = 2  # 8 hashes -> 4 bands
 
 
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a, doc_b, n_shared_bands),
+    MATERIALIZED once per (session, sf) — consumed by q_minhash_lsh_pairs
+    AND the q_neardup_clusters CC stage.
+
+    The K per-doc minima are computed as ONE map-side-combinable hash
+    aggregation with K min columns (min is algebraic, so each map task
+    emits one K-wide row per doc) instead of exploding the shingle stream
+    K-fold and shuffling (doc, k) rows — K x fewer shuffle rows for the
+    same bytes of signature (guide §2.3: aggregate before you shuffle).
+    Band signatures are then pure column expressions over the K columns.
+    md5(k || '|' || shingle) is the k-th "permutation" — identical bytes
+    in both engines."""
+    from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
+    key = _cache_key(spark, sf_dir)
+    if key not in _LSH_PAIRS_CACHE:
+        sh = _shingles_df(spark, sf_dir)
+        minh = sh.groupBy("doc_id").agg(*[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("shingle"))))
+             .alias(f"__h{k}") for k in range(N_MINHASH)])
+        n_bands = N_MINHASH // LSH_ROWS_PER_BAND
+        band_structs = []
+        for band in range(n_bands):
+            ks = range(band * LSH_ROWS_PER_BAND,
+                       (band + 1) * LSH_ROWS_PER_BAND)
+            sig = F.concat_ws(",", F.array_sort(F.array(*[
+                F.concat_ws(":", F.lit(str(k)), F.col(f"__h{k}"))
+                for k in ks])))
+            band_structs.append(F.struct(F.lit(band).alias("band"),
+                                         sig.alias("sig")))
+        bands = (minh.select("doc_id",
+                             F.explode(F.array(*band_structs)).alias("b"))
+                 .select("doc_id", "b.band", "b.sig"))
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(b, on=["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
+        path = warehouse_dir(spark, sf_dir, "lsh_pairs")
+        pairs.write.mode("overwrite").parquet(path)
+        _LSH_PAIRS_CACHE[key] = spark.read.parquet(path)
+    return _LSH_PAIRS_CACHE[key]
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs.
 
     shingle -> K md5-permutation minima per doc -> band signatures (K/R
     bands of R mins each) -> bucket equi-join on (band, signature) -> pair
     candidate count. This is the scalable near-dup join: cost is bounded by
-    bucket sizes, never all-pairs. md5(k || '|' || shingle) is the k-th
-    "permutation" — identical bytes in both engines.
-    """
-    sh = _shingles_df(spark, sf_dir)
-    minh = (
-        sh.select("doc_id", "shingle",
-                  F.explode(F.expr(f"sequence(0, {N_MINHASH - 1})")).alias("k"))
-        .withColumn("h", F.md5(F.concat_ws("|", F.col("k"), F.col("shingle"))))
-        .groupBy("doc_id", "k").agg(F.min("h").alias("minh"))
-    )
-    bands = (
-        minh.withColumn("band", (F.col("k") / LSH_ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("k"), F.col("minh"))))).alias("sig"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    bucket sizes, never all-pairs (see _lsh_pairs_df for the plan shape)."""
+    return (_lsh_pairs_df(spark, sf_dir)
+            .orderBy("doc_a", "doc_b"))
 
 
 SQL_MINHASH_LSH_PAIRS = rf"""
@@ -519,7 +567,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines). Doc ids are zero-padded so string-min == numeric-min."""
     from owl_n4j_spark.operators.canonicalize import connected_components
 
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_df(spark, sf_dir)
     # 9-digit pad: the string-min election must agree with numeric MIN
     # past 1M docs (d999999 < d1000000 numerically but not lexically)
     pad = lambda c: F.format_string("d%09d", F.col(c))  # noqa: E731
@@ -1138,7 +1186,7 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join a pretraining pipeline runs after candidate generation. Survivor
     count + total chars kept."""
     docs = load(spark, sf_dir, "documents")
-    dups = (q_ngram_jaccard_pairs(spark, sf_dir)
+    dups = (_jaccard_pairs_df(spark, sf_dir)
             .select(F.col("doc_b").alias("doc_id")).dropDuplicates())
     survivors = docs.join(dups, on="doc_id", how="left_anti")
     return survivors.agg(
@@ -1491,24 +1539,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.min("doc_id").alias("doc_id")))
     exact = quality.join(keepers, ["fingerprint", "doc_id"], "leftsemi")
 
-    sh = (_capped_shingles(_shingles_df(spark, sf_dir))
-          .join(exact.select("doc_id"), "doc_id", "leftsemi"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Near-dup prune over the exact-dedup survivors: per-pair common /
+    # n_a / n_b depend only on the two endpoint docs, so restricting the
+    # SHARED pair warehouse to survivor endpoints is plan-equivalent to
+    # re-running the pairwise join over survivor shingles — two semi-joins
+    # against an O(survivors) id set instead of a second shingle self-join.
+    exact_ids = exact.select("doc_id")
     dup_b = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(stable_round(F.col("common")
-                             / (F.col("n_a") + F.col("n_b")
-                                - F.col("common")), 6)
-                >= 0.2)
+        _jaccard_pairs_df(spark, sf_dir)
+        .join(exact_ids.select(F.col("doc_id").alias("doc_a")),
+              "doc_a", "leftsemi")
+        .join(exact_ids.select(F.col("doc_id").alias("doc_b")),
+              "doc_b", "leftsemi")
         .select(F.col("doc_b").alias("doc_id")).dropDuplicates())
     neardup = exact.join(dup_b, "doc_id", "left_anti")
 

@@ -117,50 +117,70 @@ def write_doc_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     decoys the dispatch must route WITHOUT crashing the ingest: an
     image-only .pdf with no text layer (-> quarantined) and an unknown
     extension (-> quarantined)."""
-    pdf = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-           .toPandas().sort_values("doc_id"))
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     os.makedirs(out_dir, exist_ok=True)
-    for row in pdf.itertuples(index=False):
-        fmt = row.doc_id % 5
-        if fmt == 0:
-            body = (
-                '<!DOCTYPE html>\n'
-                f'<html lang="{row.lang}">\n<head>\n'
-                f'<title>doc {row.doc_id}</title>\n'
-                f'<meta name="source" content="{escape(row.source)}"/>\n'
-                '</head>\n<body>\n'
-                '<nav><a href="/">home</a> | <a href="/about">about</a></nav>\n'
-                f'<h1>Document {row.doc_id}</h1>\n'
-                f'<p>{escape(row.text)}</p>\n'
-                '<footer>generated page footer</footer>\n'
-                '</body>\n</html>\n').encode()
-            name = f"doc_{row.doc_id:08d}.html"
-        elif fmt == 1:
-            body = (
-                '---\n'
-                f'lang: {row.lang}\n'
-                f'source: {row.source}\n'
-                '---\n'
-                f'# Document {row.doc_id}\n'
-                '\n'
-                f'{row.text}\n').encode()
-            name = f"doc_{row.doc_id:08d}.md"
-        elif fmt == 2:
-            body = _render_docx(row)
-            name = f"doc_{row.doc_id:08d}.docx"
-        elif fmt == 3:
-            body = _render_xlsx(row)
-            name = f"doc_{row.doc_id:08d}.xlsx"
-        else:
-            body = _render_pdf(row)
-            name = f"doc_{row.doc_id:08d}.pdf"
-        with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(body)
+
+    # One file per doc, rendered row-locally — distributed map instead of
+    # a serial driver loop (the docx/xlsx legs pay a zip-deflate per doc,
+    # which parallelizes; bytes are deterministic — pinned zip timestamps
+    # — so task placement cannot change any file's content).
+    def write_batch(batches):
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                _write_doc_file(row, out_dir)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    from pyspark.sql import functions as F
+    (docs.repartition(spark.sparkContext.defaultParallelism * 2)
+     .mapInPandas(write_batch, "n long")
+     .agg(F.sum("n")).collect())
     with open(os.path.join(out_dir, "scan_0001.pdf"), "wb") as f:
         f.write(b"%PDF-1.4\n% decoy scanned report, no text layer\n")
     with open(os.path.join(out_dir, "notes.xyz"), "wb") as f:
         f.write(b"unknown-format sidecar\n")
     return out_dir
+
+
+def _write_doc_file(row, out_dir: str) -> None:
+    fmt = row.doc_id % 5
+    if fmt == 0:
+        body = (
+            '<!DOCTYPE html>\n'
+            f'<html lang="{row.lang}">\n<head>\n'
+            f'<title>doc {row.doc_id}</title>\n'
+            f'<meta name="source" content="{escape(row.source)}"/>\n'
+            '</head>\n<body>\n'
+            '<nav><a href="/">home</a> | <a href="/about">about</a></nav>\n'
+            f'<h1>Document {row.doc_id}</h1>\n'
+            f'<p>{escape(row.text)}</p>\n'
+            '<footer>generated page footer</footer>\n'
+            '</body>\n</html>\n').encode()
+        name = f"doc_{row.doc_id:08d}.html"
+    elif fmt == 1:
+        body = (
+            '---\n'
+            f'lang: {row.lang}\n'
+            f'source: {row.source}\n'
+            '---\n'
+            f'# Document {row.doc_id}\n'
+            '\n'
+            f'{row.text}\n').encode()
+        name = f"doc_{row.doc_id:08d}.md"
+    elif fmt == 2:
+        body = _render_docx(row)
+        name = f"doc_{row.doc_id:08d}.docx"
+    elif fmt == 3:
+        body = _render_xlsx(row)
+        name = f"doc_{row.doc_id:08d}.xlsx"
+    else:
+        body = _render_pdf(row)
+        name = f"doc_{row.doc_id:08d}.pdf"
+    with open(os.path.join(out_dir, name), "wb") as f:
+        f.write(body)
 
 
 class _MainText(HTMLParser):
