@@ -51,12 +51,16 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             .groupBy(F.col("b").alias("v"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
+        # lazy checkpoint: rounds are FIXED (no driver decision between
+        # them), so deferring materialization fuses all rounds into one
+        # multi-stage job — the barrier still truncates lineage when the
+        # caller's action runs, without one scheduler round-trip per round
         labels = (
             counts.groupBy("v")
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
                                 F.col("lbl").alias("l"))).alias("e"))
             .select("v", F.col("e.l").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("v").alias("vertex"),
                          F.col("lbl").alias("community"))
@@ -121,7 +125,7 @@ def louvain_communities(edges: DataFrame, resolution: tuple[int, int] = (1, 1),
                  .alias("not_own"),
                 F.col("lbl").alias("l"))).alias("e"))
             .select("v", F.col("e.l").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)   # fixed rounds: fuse, as in LPA
         )
     return labels.select(F.col("v").alias("vertex"),
                          F.col("lbl").alias("community"))
