@@ -280,6 +280,12 @@ def run_pipeline(
         records = staged("t02_records", lambda: records_df)
     else:
         extract_fn = get_extractor(engine)
+        # NOTE (r6 measurement): repartitioning `clean` to 2x cores before
+        # the Python stage speeds extraction itself ~1.7x (the AQE-coalesced
+        # normalize output is a handful of partitions), but the wider
+        # records checkpoint then taxes EVERY downstream stage with task
+        # overhead — full-pipeline A/B: 10.3 s spread vs 6.8 s coalesced at
+        # sf0.1/local[32]. Net loss; deliberately left as-is.
         records = staged("t02_records", lambda: extract_fn(clean, gazetteer))
     mentions_raw = records.filter(F.col("kind") == "mention")
     triples_raw = records.filter(F.col("kind") == "triple")

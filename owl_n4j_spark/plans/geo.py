@@ -318,23 +318,25 @@ ORDER BY a.tower, user_a, user_b
 
 def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse geocoding (SURVEY S8): every geolocated ping resolves to its
-    NEAREST gazetteer city by haversine — broadcast the (tiny) gazetteer,
-    per-ping argmin via struct-min (algebraic, no window sort), then count
-    pings per resolved city. The reference calls a reverse-geocode service
-    per point and caches; the Spark shape is a broadcast join that never
-    leaves the executor."""
+    NEAREST gazetteer city by haversine. The gazetteer is a module
+    constant, so the per-ping argmin runs entirely MAP-SIDE as an
+    array_min over per-city (distance, city) structs — no crossJoin row
+    expansion and no per-ping re-aggregation shuffle (the earlier shape
+    exploded every ping x |gazetteer| and re-grouped by a synthetic ping
+    id: one full shuffle of the expanded stream for the same argmin; same
+    struct-min tie-break, identical output). Only the O(cities) rollup
+    shuffles. The reference calls a reverse-geocode service per point and
+    caches; this is that cache as codegen'd column math."""
     pts = geo_points(spark, sf_dir)
-    geo = spark.createDataFrame(
-        [(k, CITY_COORDS[k][0], CITY_COORDS[k][1]) for k in sorted(_CITY_KEYS)],
-        "city string, clat double, clon double")
-    d = haversine_m(F.col("lat"), F.col("lon"), F.col("clat"), F.col("clon"))
+    arr = F.array(*[
+        F.struct(
+            haversine_m(F.col("lat"), F.col("lon"),
+                        F.lit(CITY_COORDS[k][0]),
+                        F.lit(CITY_COORDS[k][1])).alias("d"),
+            F.lit(k).alias("c"))
+        for k in sorted(_CITY_KEYS)])
     return (
-        pts.withColumn("pid", F.monotonically_increasing_id())
-        .crossJoin(F.broadcast(geo))
-        .withColumn("d", d)
-        .groupBy("pid")
-        .agg(F.min(F.struct(F.col("d").alias("d"),
-                            F.col("city").alias("c"))).alias("e"))
+        pts.select(F.array_min(arr).alias("e"))
         .groupBy(F.col("e.c").alias("city"))
         .agg(F.count("*").alias("n_pings"),
              F.round(F.min("e.d"), 1).alias("min_dist_m"),

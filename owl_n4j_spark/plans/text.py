@@ -414,7 +414,15 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
     key = _cache_key(spark, sf_dir)
     if key not in _JACCARD_PAIRS_CACHE:
-        sh = _capped_shingles(_shingles_df(spark, sf_dir))
+        # hash-partition the capped shingles on the JOIN key at ~2 tasks
+        # per core: the warehouse read is a couple of byte-sized splits,
+        # and without the spread the |bucket|^2 pair-generating self-join
+        # (the CPU-heavy leg) runs 1-2-wide; partitioning on `shingle`
+        # co-partitions both join sides, so the join itself adds no
+        # further exchange
+        sh = (_capped_shingles(_shingles_df(spark, sf_dir))
+              .repartition(spark.sparkContext.defaultParallelism * 2,
+                           "shingle"))
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
         b = sh.alias("b")
@@ -492,7 +500,14 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_n4j_spark.plans.kg_analytics import _cache_key, warehouse_dir
     key = _cache_key(spark, sf_dir)
     if key not in _LSH_PAIRS_CACHE:
-        sh = _shingles_df(spark, sf_dir)
+        # spread the K-fold md5 work: the shingle warehouse reads back as
+        # 1-2 splits (small files pack via openCostInBytes), so the
+        # partial aggregation — where all K md5s per shingle run — would
+        # be 1-2-wide; hash-partitioning on the grouping key both spreads
+        # the CPU and makes the aggregation exchange-free
+        sh = (_shingles_df(spark, sf_dir)
+              .repartition(spark.sparkContext.defaultParallelism * 2,
+                           "doc_id"))
         minh = sh.groupBy("doc_id").agg(*[
             F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("shingle"))))
              .alias(f"__h{k}") for k in range(N_MINHASH)])
