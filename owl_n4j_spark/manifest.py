@@ -22,6 +22,8 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from owl_n4j_spark.localrel import local_df
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -79,7 +81,7 @@ class ManifestWriter:
                            snapshot_id))
 
     def to_df(self) -> DataFrame:
-        return self.spark.createDataFrame(self._rows, schema=MANIFEST_SCHEMA)
+        return local_df(self.spark, self._rows, MANIFEST_SCHEMA)
 
     def flush(self) -> DataFrame:
         df = self.to_df()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from owl_n4j_spark.localrel import local_df
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return (
@@ -148,7 +150,8 @@ def betweenness_sampled(edges: DataFrame, sources: list,
     spark = edges.sparkSession
     is_str = dict(edges.dtypes).get("src") == "string"
     vtype = "string" if is_str else "long"
-    seed = spark.createDataFrame(
+    seed = local_df(
+        spark,
         [((s if is_str else int(s)), (s if is_str else int(s)), 1.0)
          for s in sources],
         f"s {vtype}, v {vtype}, sigma double")

@@ -220,10 +220,19 @@ def run_pipeline(
         without a leaf node at every boundary the composed logical plan grows
         exponentially and Catalyst analysis time dominates execution (measured
         ~10s planning per action at sf0.01). The warehouse path gets the same
-        truncation for free from the parquet round-trip."""
+        truncation for free from the parquet round-trip.
+
+        The checkpoint is LAZY (eager=False): it still materializes exactly
+        once (on the first action that touches it) and truncates lineage the
+        same way, but consecutive stages fuse into one scheduled job instead
+        of paying one barrier job per stage — the per-job fixed cost (~0.3 s
+        each on local[32]) was the dominant pipeline cost at bench scale,
+        and at cluster scale fewer barriers only helps (guide §1.2: remove
+        passes). Stages with driver-side loops between them (the CC
+        fixpoint) materialize at their own actions regardless."""
         nonlocal resume
         if warehouse is None:
-            return df_fn().localCheckpoint(eager=True)
+            return df_fn().localCheckpoint(eager=False)
         path = os.path.join(warehouse, name)
         # Schema-evolution guard, GENERIC across every stage: each commit
         # is stamped with STAGE_SCHEMA_VERSION; a committed stage whose
@@ -310,7 +319,7 @@ def run_pipeline(
         # three times (edge build, canon-key election, final compose) — an
         # uncached plan recomputes the full linking join per consumer.
         link_map = build_key_mapping(mention_keys, alias_dict,
-                                     rejected_pairs).localCheckpoint(eager=True)
+                                     rejected_pairs).localCheckpoint(eager=False)
         # ---- stage 5: canonicalize (CC over the same-as graph) ----------
         return canonical_mapping(link_map, sameas_raw)
 
@@ -330,7 +339,7 @@ def run_pipeline(
                                       "conv_id", "turn_idx"])
         # base feeds BOTH union legs below; without a materialization point
         # the remap broadcasts + dedup shuffle execute twice in one action
-        base = base.localCheckpoint(eager=True) if warehouse is None else base
+        base = base.localCheckpoint(eager=False) if warehouse is None else base
         # first-appearance PARTICIPATED_IN per canonical speaker per thread
         participated = (
             base.filter(F.col("pred") == "SENT_MESSAGE")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from owl_n4j_spark.functions.keys import normalise_key as _nk
+from owl_n4j_spark.localrel import local_df
 from owl_n4j_spark.plans.kg_analytics import CITY_COORDS
 from owl_n4j_spark.plans.relational import load
 from owl_n4j_spark.synth import CITIES as _CITIES_RAW
@@ -91,7 +92,8 @@ def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — never a per-row geocode call (the reference caches geocodes for
     the same reason, geocoding.py:17-27)."""
     ev = load(spark, sf_dir, "events")
-    geo = spark.createDataFrame(
+    geo = local_df(
+        spark,
         [(i, CITY_COORDS[k][0], CITY_COORDS[k][1])
          for i, k in enumerate(_CITY_KEYS)],
         "cidx int, clat double, clon double")

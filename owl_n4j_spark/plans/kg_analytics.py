@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from owl_n4j_spark.functions.numeric import sql_stable_round, stable_round
+from owl_n4j_spark.localrel import local_df
 from owl_n4j_spark.pipeline import run_pipeline
 from owl_n4j_spark.sources import events_transcripts as et
 from owl_n4j_spark.sources.events_transcripts import _BASE_CTE, _TRIPLE_LEGS
@@ -93,7 +94,7 @@ def kg_nl_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions over a 10-row config table; the oracle repeats the
     same rules in SQL, so the routing logic itself is hash-checked."""
     rows = [(i, q) for i, q in enumerate(NL_QUESTIONS)]
-    df = spark.createDataFrame(rows, "question_id int, question string")
+    df = local_df(spark, rows, "question_id int, question string")
     q = F.col("question")
     intent = (
         F.when(q.contains("pay"), F.lit("kg_payment_facts"))
@@ -1534,7 +1535,8 @@ def kg_location_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     TILE_TOP_N busiest tiles (deterministic tie-break) — the reference's
     top-5000 response cap (SURVEY T2); a map client never needs more."""
     res = kg_result(spark, sf_dir)
-    geo = spark.createDataFrame(
+    geo = local_df(
+        spark,
         [(k, lat, lon) for k, (lat, lon) in sorted(CITY_COORDS.items())],
         "key string, lat double, lon double")
     visits = (res["edges"].filter(F.col("rel_type") == "TRAVELED_TO")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from owl_n4j_spark.functions.numeric import sql_stable_round, stable_round
+from owl_n4j_spark.localrel import local_df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -733,8 +734,8 @@ def q_url_terms(spark, sf_dir):
     JVM-side: concat/regexp_extract/regexp_replace, one shuffle for the
     final (engine, term) rollup."""
     ev = load(spark, sf_dir, "events")
-    engines = spark.createDataFrame(
-        SEARCH_ENGINES, "engine string, param string, eidx bigint")
+    engines = local_df(
+        spark, SEARCH_ENGINES, "engine string, param string, eidx bigint")
     b = (ev.filter(F.col("event_id") % 7 == 0)
            .withColumn("eidx", F.col("event_id") % 4))
     j = b.join(F.broadcast(engines), "eidx")

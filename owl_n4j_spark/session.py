@@ -112,4 +112,40 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_WARM_INIT", "1") != "0":
+        _warm_engine(spark)
+    return spark
+
+
+def _warm_engine(spark: SparkSession) -> None:
+    """One-time engine warm-up per session (skippable via
+    $SPARK_GRAFT_WARM_INIT=0). Touches NO input data and caches NO results —
+    it only forces the JVM one-time initializations that otherwise land on
+    whichever query first needs them and distort its latency:
+
+    - Spark 4 collation machinery: the first case-mapping expression
+      triggers ``CollationAwareUTF8String``'s static init, which builds
+      ICU case tables for the full codepoint range (~2 s measured, all
+      executor threads blocked on the classload monitor);
+    - broadcast-hash-join machinery (BroadcastExchange thread pool,
+      TorrentBroadcast, first join codegen): ~2 s measured on the first
+      broadcast join of a session.
+
+    In local mode driver == executor JVM, so one tiny job warms both
+    sides. On a cluster this warms the driver and whichever executors get
+    the two tasks — harmless, and the per-executor cost is paid once
+    either way."""
+    try:
+        if spark.conf.get("spark.owl.warmedInit", "") == "1":
+            return
+    except Exception:
+        pass
+    from pyspark.sql import functions as F
+
+    a = spark.range(2).select(
+        F.lower(F.concat(F.lit("A"), F.col("id").cast("string"))).alias("k"))
+    b = spark.range(2).select(F.col("id").cast("string").alias("k"))
+    (a.join(F.broadcast(b), "k")
+     .write.format("noop").mode("overwrite").save())
+    spark.conf.set("spark.owl.warmedInit", "1")

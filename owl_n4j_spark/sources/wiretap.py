@@ -35,6 +35,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from owl_n4j_spark.localrel import local_df
+
 _DESTINATIONS = re.compile(r"\{\\(?:fonttbl|colortbl|stylesheet|info|\*)")
 _CTRL = re.compile(r"\\([a-z]+)(-?\d+)? ?")
 
@@ -429,8 +431,7 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str,
         # processes — builtin hash() is salted) and parsed as listed, in
         # bounded batches. Nothing folder-related ever sits on the driver.
         n_shards = int(list_shards)
-        sdf = (spark.createDataFrame([(i,) for i in range(n_shards)],
-                                     "shard int")
+        sdf = (local_df(spark, [(i,) for i in range(n_shards)], "shard int")
                .repartition(n_shards, "shard"))
 
         def parse_shard(batches):
@@ -462,8 +463,8 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str,
                    if os.path.isdir(root) else [])
         n_slices = min(max(len(folders) // 64, 1),
                        spark.sparkContext.defaultParallelism * 4)
-        fdf = spark.createDataFrame(
-            [(p,) for p in folders],
+        fdf = local_df(
+            spark, [(p,) for p in folders],
             "folder_path string").repartition(n_slices)
 
         def parse(batches):
