@@ -481,6 +481,30 @@ def ensure_ufed_xml(spark: SparkSession, sf_dir: str) -> str:
     return xml_dir
 
 
+_UFED_TURNS_CACHE: dict = {}
+
+
+def _ufed_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch XML-dump parse (turns contract), parsed ONCE per
+    (session, sf): three queries consume exactly this frame — q_xml_ingest,
+    q_xml_reconcile's persisted leg, and q_stream_parity's batch side —
+    and each re-ran the full 200-dump iterparse (~1.2 s at sf0.1).
+    Committed to a parquet warehouse and served from there, the same
+    shared-subplan discipline as _wiretap_sessions (and exactly the
+    production shape q_xml_reconcile's docstring names: the persisted
+    side reads the ingest's already-written warehouse output)."""
+    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _UFED_TURNS_CACHE:
+        path = warehouse_dir(spark, sf_dir, "ufed_turns")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (read_ufed_xml(spark, ensure_ufed_xml(spark, sf_dir))
+             .write.mode("overwrite").parquet(path))
+        _UFED_TURNS_CACHE[key] = spark.read.parquet(path)
+    return _UFED_TURNS_CACHE[key]
+
+
 def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-XML ingestion proof (SURVEY S1 —
     ingestion/scripts/cellebrite/parser.py:658-757): UFED-shaped XML dumps
@@ -490,9 +514,7 @@ def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary columns are all derivable from ``events`` without re-rendering
     text, giving the parse an exact DuckDB oracle; turn-for-turn text
     parity of parse(generate(T)) == T is pinned in tests/test_ufed_xml.py."""
-    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
-
-    tr = read_ufed_xml(spark, ensure_ufed_xml(spark, sf_dir))
+    tr = _ufed_turns(spark, sf_dir)
     return (
         tr.groupBy("conv_id").agg(
             F.count("*").alias("n_turns"),
@@ -549,7 +571,7 @@ def q_xml_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations over O(models) rows, output O(types)."""
     from owl_n4j_spark.sources.ufed_xml import (
         UFED_HELPER, UFED_NESTED, UFED_ONE_TO_ONE, UFED_SKIPPED,
-        read_ufed_models, read_ufed_xml)
+        read_ufed_models)
 
     xml_dir = ensure_ufed_xml(spark, sf_dir)
     models = read_ufed_models(spark, xml_dir)
@@ -568,8 +590,10 @@ def q_xml_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(persist_ok.cast("long")).alias("writer_out"))
 
     # Chat/InstantMessage persist through the real transcripts path: every
-    # parsed chat becomes a conversation, every message a turn.
-    tr = read_ufed_xml(spark, xml_dir)
+    # parsed chat becomes a conversation, every message a turn (served
+    # from the once-per-session parse warehouse — independent of the
+    # models parse above, which is the point of the reconciliation).
+    tr = _ufed_turns(spark, sf_dir)
     chat_p = (tr.agg(F.countDistinct("conv_id").alias("Chat"),
                      F.count("*").alias("InstantMessage"))
               .selectExpr("stack(2, 'Chat', Chat, "
@@ -1029,7 +1053,6 @@ def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stream runs ONCE per (session, sf) into a checkpointed parquet
     warehouse (marker-guarded, the ensure_* discipline); the comparison
     itself is two set-difference aggregations — no driver-side collect."""
-    from owl_n4j_spark.sources.ufed_xml import read_ufed_xml
     from owl_n4j_spark.sources.wiretap import transcripts_from_sessions
     from owl_n4j_spark.streaming.incremental import (
         run_incremental_wiretap_ingest,
@@ -1080,7 +1103,7 @@ def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.coalesce(F.col("n_diff"), F.lit(0)) == 0)
                         .alias("stream_equals_batch")))
 
-    xml = leg("ufed_xml", read_ufed_xml(spark, xml_dir),
+    xml = leg("ufed_xml", _ufed_turns(spark, sf_dir),
               spark.read.parquet(sx))
     wt = leg("wiretap",
              transcripts_from_sessions(_wiretap_sessions(spark, sf_dir)),

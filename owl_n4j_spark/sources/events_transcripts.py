@@ -53,7 +53,35 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(alias_dict_pandas(_universe()))
 
 
+_TRANSCRIPTS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-transcripts source, materialized ONCE per (session, sf_dir).
+
+    Every headline consumer (the bench's count + timed extraction legs,
+    kg_result's pipeline, the XML fixture renderer, q_decontaminate)
+    re-derived the same frame — a broadcast-join + window shuffle each
+    (~2.3 s at sf0.1). Shared-subplan discipline (guide §2.4, same as the
+    copresence_edges warehouse): compute once, serve every consumer from
+    the materialization. A LAZY localCheckpoint (not parquet) on purpose:
+    it preserves the window shuffle's partitioning — a parquet round-trip
+    of this ~10 MB frame would pack into one scan split and serialize the
+    downstream Python extraction stage — and spills to disk at scale
+    (MEMORY_AND_DISK). Keyed by applicationId so a restarted session
+    never serves dead handles; nothing persists across processes."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    cached = _TRANSCRIPTS_CACHE.get(key)
+    if cached is None:
+        cached = (_transcripts_plan(spark, sf_dir)
+                  .localCheckpoint(eager=False))
+        _TRANSCRIPTS_CACHE[key] = cached
+    return cached
+
+
+def _transcripts_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value) -> transcripts
     (conv_id, turn_idx, role, text, tool, ts).
 
