@@ -177,9 +177,13 @@ def betweenness_sampled(edges: DataFrame, sources: list,
         levels.append(nxt)
 
     # ---- backward: dependency accumulation per (s, v) --------------------
-    # Each level's contrib must be checkpointed (it is the next level's
-    # delta input), but the TOTAL is deferred: per-level parts reference
-    # checkpoint leaves only, so one final union + aggregate replaces a
+    # Each level's contrib is checkpointed (it is the next level's delta
+    # input and feeds two consumers), but LAZILY: the backward chain is
+    # fixed once the levels exist — no driver decision between rounds — so
+    # all contribs fuse into the final aggregation job (the LPA/Louvain
+    # fixed-round pattern) while the checkpoints still truncate lineage.
+    # The TOTAL is likewise deferred: per-level parts reference checkpoint
+    # leaves only, so one final union + aggregate replaces a
     # re-checkpointed running total per level.
     parts = []
     delta = None
@@ -198,7 +202,7 @@ def betweenness_sampled(edges: DataFrame, sources: list,
                         * (F.lit(1.0) + F.col("delta")))
             .groupBy("s", F.col("b").alias("v"))
             .agg(F.sum("c").alias("delta"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         delta = contrib
         if d > 1:

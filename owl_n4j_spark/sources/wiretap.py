@@ -98,11 +98,23 @@ def rtf_to_text(s: str) -> str:
                     if not skip_depth:
                         out.append(chr(cp + 65536 if cp < 0 else cp))
                     # skip the current group's \ucN fallback chars — a
-                    # fallback may itself be a \'xx escape (one char each)
+                    # fallback may itself be a \'xx escape (one char each).
+                    # Group structure WINS over the fallback count: on RTF
+                    # that supplies fewer fallback chars than \ucN before a
+                    # group delimiter (spec-violating, seen in the wild),
+                    # consuming a structural brace or a control word would
+                    # desync depth/uc_stack and extend a destination skip
+                    # over visible text — so stop at any unescaped brace or
+                    # at a '\' that is not a \'xx quote escape.
                     for _ in range(uc_stack[-1]):
-                        if i >= n:
+                        if i >= n or s[i] in "{}":
                             break
-                        i += 4 if s.startswith("\\'", i) else 1
+                        if s.startswith("\\'", i):
+                            i += 4
+                        elif s[i] == "\\":
+                            break
+                        else:
+                            i += 1
             else:               # escaped literal: \{ \} \\
                 if i + 1 < n and not skip_depth:
                     out.append(s[i + 1])
@@ -431,8 +443,12 @@ def read_wiretap_sessions(spark: SparkSession, case_dir: str,
         # processes — builtin hash() is salted) and parsed as listed, in
         # bounded batches. Nothing folder-related ever sits on the driver.
         n_shards = int(list_shards)
+        # range-partition, not hash: hash(shard) % n_shards collides, which
+        # can put two full scandir sweeps serially in one task while other
+        # partitions sit empty — range partitioning of the already-distinct
+        # shard ids maps each shard to exactly one task
         sdf = (local_df(spark, [(i,) for i in range(n_shards)], "shard int")
-               .repartition(n_shards, "shard"))
+               .repartitionByRange(n_shards, "shard"))
 
         def parse_shard(batches):
             import zlib

@@ -133,6 +133,23 @@ def test_rtf_hex_and_unicode_escapes():
         "{\\rtf1{\\fonttbl{\\f0 X\\'e9;}}body\\par}") == "body"
 
 
+def test_rtf_unicode_fallback_never_eats_structure():
+    """Spec-violating RTF that supplies FEWER \\ucN fallback chars than
+    declared before a group delimiter: the fallback skip must stop at the
+    unescaped brace (or a control backslash) — consuming it would desync
+    group depth and extend a destination skip over visible text."""
+    # \uc2 declares two fallback chars but the group closes after \u233 —
+    # the '}' must close the group, not be eaten as a fallback char
+    assert rtf_to_text(
+        "{\\rtf1\\ansi{\\uc2\\u233}X\\par}") == "éX"
+    # a control word directly after \uN is likewise structure, not fallback
+    assert rtf_to_text(
+        "{\\rtf1\\ansi\\uc2\\u233\\par done}").splitlines() == ["é", "done"]
+    # the compliant shape (full fallback supplied) still skips exactly ucN
+    assert rtf_to_text(
+        "{\\rtf1\\ansi\\uc2\\u233ab X\\par}") == "é X"
+
+
 def test_wiretap_empty_case(spark, tmp_path):
     """A case with no sessions yet (or no sessions/ dir) is an empty
     DataFrame, not a crash — the landing-folder shape starts empty."""
