@@ -54,6 +54,15 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=True)
     )
+    # Empty edge set (common: a corpus whose extraction emitted no SAME_AS
+    # evidence) — every vertex is its own component and the label machinery
+    # (labels0 checkpoint + one no-op round + poll, 3 scheduled jobs) would
+    # compute nothing. The emptiness probe is a first-partition scan on the
+    # just-checkpointed frame, so the short-circuit is cheaper than the
+    # round it skips at ANY scale.
+    if sym.isEmpty():
+        return sym.select(F.col("a").alias("member_key"),
+                          F.col("b").alias("canonical_key"))
     verts = sym.select(F.col("a").alias("v")).dropDuplicates(["v"])
     if canon_keys is not None:
         verts = verts.join(

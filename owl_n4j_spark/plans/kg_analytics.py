@@ -1069,14 +1069,23 @@ def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~20k-session catch-up into ~20 full re-listings — measured 104 s at
     # sf0.1 vs ~13 s with one big trigger. Identical rows/checkpoint
     # semantics; only the commit granularity differs.
+    # .done markers are written via tempfile+rename (atomic on POSIX): a
+    # crash between stream completion and marker write merely re-runs the
+    # stream, which the checkpoint makes a no-op catch-up (idempotent
+    # re-run contract); a torn marker file can never exist.
+    def _mark_done(path: str) -> None:
+        tmp = path + ".tmp"
+        open(tmp, "w").close()
+        os.replace(tmp, path)
+
     if not os.path.exists(sx + ".done"):
         run_incremental_xml_ingest(spark, xml_dir, sx, sx + "_ckpt",
                                    max_files_per_trigger=100_000)
-        open(sx + ".done", "w").close()
+        _mark_done(sx + ".done")
     if not os.path.exists(sw + ".done"):
         run_incremental_wiretap_ingest(spark, case_dir, sw, sw + "_ckpt",
                                        max_files_per_trigger=100_000)
-        open(sw + ".done", "w").close()
+        _mark_done(sw + ".done")
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
