@@ -1495,29 +1495,36 @@ ORDER BY conv_id, turn_idx
 
 def kg_entity_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference generates per-entity LLM summaries from its facts +
-    neighbours (llm_client.py:699-777). Deterministic re-expression: group
-    every triple of a Person entity and render a template summary in one
-    ``groupBy().applyInPandas`` pass — the grouped-UDAF surface the L-ops
-    use, with an exact string oracle."""
-    import pandas as pd
-
+    neighbours (llm_client.py:699-777). Deterministic re-expression: one
+    algebraic aggregation per Person entity plus a codegen'd template
+    concat. This was a ``groupBy().applyInPandas`` render (r6 measurement:
+    the grouped-pandas shape ships EVERY triple row of the group across
+    the Python boundary and forfeits partial aggregation — guide §4.1/
+    §2.3); the counts and the city set are map-side-combinable aggregates
+    and the summary string is pure column surgery, so the whole query now
+    runs inside whole-stage codegen with no Python stage (the
+    FlatMapGroupsInPandas node is gone from the plan; identical rows,
+    same exact string oracle)."""
     res = kg_result(spark, sf_dir)
     person = res["triples"].filter(F.col("subj_key").startswith("phone-"))
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf["subj_key"].iloc[0]
-        n_msgs = int((pdf["pred"] == "SENT_MESSAGE").sum())
-        n_paid = int((pdf["pred"] == "PAID").sum())
-        cities = sorted(set(pdf.loc[pdf["pred"] == "TRAVELED_TO", "obj_key"]))
-        summary = (f"{key}: {n_msgs} messages, {n_paid} payments, "
-                   f"visited {','.join(cities) if cities else 'nowhere'}")
-        return pd.DataFrame({"key": [key], "summary": [summary]})
-
-    return (
-        person.groupBy("subj_key")
-        .applyInPandas(render, schema="key string, summary string")
-        .orderBy("key")
+    agg = person.groupBy(F.col("subj_key").alias("key")).agg(
+        F.sum(F.when(F.col("pred") == "SENT_MESSAGE", 1).otherwise(0))
+         .alias("n_msgs"),
+        F.sum(F.when(F.col("pred") == "PAID", 1).otherwise(0))
+         .alias("n_paid"),
+        F.sort_array(F.collect_set(
+            F.when(F.col("pred") == "TRAVELED_TO", F.col("obj_key"))))
+         .alias("cities"),
     )
+    summary = F.concat(
+        F.col("key"), F.lit(": "), F.col("n_msgs").cast("string"),
+        F.lit(" messages, "), F.col("n_paid").cast("string"),
+        F.lit(" payments, visited "),
+        F.when(F.size("cities") > 0, F.array_join("cities", ","))
+         .otherwise(F.lit("nowhere")))
+    return (agg.select("key", summary.alias("summary"))
+            .orderBy("key"))
 
 
 SQL_KG_ENTITY_SUMMARIES = f"""
