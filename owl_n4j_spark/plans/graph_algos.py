@@ -49,15 +49,21 @@ def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session's fixed UTC zone, and an 8-byte key shuffles/sorts
         # cheaper than a 13-char string through the distinct + self-join
         # (guide §2.3: narrower types shuffle fewer bytes).
-        # repartition on h AFTER the distinct: AQE coalesces the small
-        # distinct output to 1-2 byte-sized partitions, which would run
-        # the pair-generating self-join (the CPU-heavy leg — |bucket|^2
-        # fan-out) 1-2-wide; hash-partitioning both sides on the join key
-        # keeps the join co-partitioned (no extra exchange) at ~2 tasks
-        # per core (measured 3.4 s -> 1.0 s at sf0.1/local[32])
+        # ONE exchange, not two: repartition on h FIRST, then dedup —
+        # hash-partitioning on h satisfies the (h, user_id) aggregation's
+        # clustered distribution (rows sharing both keys share h), so the
+        # dropDuplicates runs partition-local with no second exchange
+        # (guide §2.4: two operations keyed compatibly share one
+        # exchange; plan: 3 Exchanges -> 2). The explicit repartition
+        # also keeps the CPU-heavy |bucket|^2 self-join at ~2 tasks per
+        # core instead of the 1-2 AQE-coalesced partitions a bare
+        # distinct would leave (measured 3.4 s -> 1.0 s at
+        # sf0.1/local[32] in r6's inherited commit), and both join sides
+        # stay co-partitioned on the join key h.
         m = (ev.select(F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
-                       "user_id").distinct()
-             .repartition(spark.sparkContext.defaultParallelism * 2, "h"))
+                       "user_id")
+             .repartition(spark.sparkContext.defaultParallelism * 2, "h")
+             .dropDuplicates(["h", "user_id"]))
         y = m.select(F.col("h"), F.col("user_id").alias("user_b"))
         edges = (
             m.join(y, on="h")
