@@ -209,8 +209,10 @@ def run_pipeline(
     # lineage says WHICH commit produced each stage's counts (K5 + the
     # north rule's "resume from the last committed snapshot checkpoint").
     snapshots: dict[str, str | None] = {}
+    import threading
+    _resume_lock = threading.Lock()
 
-    def staged(name: str, df_fn) -> DataFrame:
+    def staged(name: str, df_fn, chain: dict | None = None) -> DataFrame:
         """Compute-or-resume one stage through the warehouse.
 
         Without a warehouse the stage output is localCheckpoint-ed: this both
@@ -242,15 +244,24 @@ def run_pipeline(
         # AnalysisException on a column the old schema lacks (or, worse,
         # silently serving an old shape whose semantics changed). This is
         # the whole-warehouse analog of Iceberg's schema-id check.
-        if resume and stage_is_committed(path) and _stage_stamp_ok(path):
-            snapshots[name] = _stage_snapshot_id(path)
-            return spark.read.parquet(path)
-        # This stage is being (re)computed, so every committed stage after
-        # it derives from a lineage that no longer exists — resuming one
-        # would silently mix old and new semantics (e.g. a recomputed
-        # t03_mapping feeding t05_triples parquet built from the OLD
-        # mapping). Invalidate resume for the rest of the run.
-        resume = False
+        # The check-and-invalidate is atomic under a lock so the two
+        # INDEPENDENT stage chains below may run concurrently. A stage on
+        # a concurrent chain carries its own ``chain`` flag (seeded from
+        # the global `resume` at the fork): a recompute invalidates only
+        # that chain's LATER stages — its true downstream — never the
+        # sibling chain, whose committed stages derive from inputs that
+        # resumed (tests/test_resume pins that deleting t06 leaves t05's
+        # commit untouched). The global flag is re-joined as the AND of
+        # both chains before t07, which depends on both.
+        with _resume_lock:
+            ok = resume if chain is None else chain["ok"]
+            if ok and stage_is_committed(path) and _stage_stamp_ok(path):
+                snapshots[name] = _stage_snapshot_id(path)
+                return spark.read.parquet(path)
+            if chain is None:
+                resume = False
+            else:
+                chain["ok"] = False
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
         _write_stage_stamp(path)
@@ -325,11 +336,6 @@ def run_pipeline(
 
     final_mapping = staged("t03_mapping", _mapping)
 
-    # ---- remap to canonical keys ----------------------------------------
-    mentions = staged(
-        "t04_mentions",
-        lambda: remap_keys(mentions_raw, final_mapping, ["mention_key"]))
-
     def _triples():
         linked = remap_keys(triples_raw, final_mapping,
                             ["subj_key", "obj_key"])
@@ -352,11 +358,44 @@ def run_pipeline(
         )
         return base.unionByName(participated)
 
-    triples = staged("t05_triples", _triples)
+    # ---- stages 4/5/6: remap + materialize -------------------------------
+    # Two INDEPENDENT chains hang off the committed mapping:
+    #   A: t04_mentions -> t06_nodes   (mentions remap, node build)
+    #   B: t05_triples                 (triple remap + dedup + union)
+    # With a warehouse each stage is a real write job, and the chains
+    # share no inputs beyond already-committed stages — so they run from
+    # a 2-thread pool (guide §2.6: overlap independent jobs; B's tasks
+    # back-fill executors freed by A's tail and vice versa). Resume
+    # atomicity lives in staged()'s lock; chain A resuming t06 while
+    # chain B recomputes t05 is sound because t06 derives only from
+    # t03/t04 (which resumed). Without a warehouse the stages are lazy
+    # plans — nothing executes here — so they are built sequentially.
+    def _chain_mentions_nodes(chain=None):
+        m = staged("t04_mentions",
+                   lambda: remap_keys(mentions_raw, final_mapping,
+                                      ["mention_key"]), chain=chain)
+        n = staged("t06_nodes", lambda: build_nodes(m, final_mapping,
+                                                    case_id), chain=chain)
+        return m, n
 
-    # ---- stage 6: materialize -------------------------------------------
-    nodes = staged("t06_nodes", lambda: build_nodes(mentions, final_mapping,
-                                                    case_id))
+    if warehouse is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+        wrap = inheritable_thread_target(spark)  # session-aware (Spark 4)
+        chain_a, chain_b = {"ok": resume}, {"ok": resume}
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_a = pool.submit(wrap(
+                lambda: _chain_mentions_nodes(chain_a)))
+            fut_b = pool.submit(wrap(
+                lambda: staged("t05_triples", _triples, chain=chain_b)))
+            mentions, nodes = fut_a.result()
+            triples = fut_b.result()
+        # t07 depends on BOTH chains: its resume is valid only if both were
+        resume = resume and chain_a["ok"] and chain_b["ok"]
+    else:
+        mentions, nodes = _chain_mentions_nodes()
+        triples = staged("t05_triples", _triples)
     # Referential-quarantine accounting also rides the stage action: the
     # pre-filter edge count is OBSERVED on the build feeding the staged
     # write (r3 shape ran the edge build THREE times — two counts + the
