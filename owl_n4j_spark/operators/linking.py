@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 FUZZY_THRESHOLD = 0.84  # levenshtein-ratio analog of SequenceMatcher>=0.88
 
@@ -158,12 +157,18 @@ def build_key_mapping(
             F.col("key_a").alias("raw_key"), F.col("key_b").alias("canonical_key"))
         pairs = pairs.join(F.broadcast(rej), ["raw_key", "canonical_key"], "left_anti")
 
-    w = Window.partitionBy("raw_key").orderBy(
-        F.desc("score"), F.asc("canonical_key"))
+    # top-1 per mention by (score desc, key asc) as an ALGEBRAIC argmax:
+    # min(struct(-score, key)) is map-side combinable, so the election
+    # partially aggregates before the shuffle — the row_number window it
+    # replaces sorted every candidate group per partition and shipped all
+    # of them (guide §2.3: aggregate before you shuffle). Identical
+    # winner: negated-double ordering == desc, struct tie-break == key asc.
     fuzzy = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("raw_key", "canonical_key", F.lit("fuzzy").alias("method"))
+        pairs.groupBy("raw_key")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("canonical_key").alias("k"))).alias("e"))
+        .select("raw_key", F.col("e.k").alias("canonical_key"),
+                F.lit("fuzzy").alias("method"))
     )
 
     # (c) everything else maps to itself (new entity)

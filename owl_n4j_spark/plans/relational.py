@@ -148,16 +148,21 @@ ORDER BY o_orderpriority
 
 
 def q_customer_first_order(spark, sf_dir):
-    """Keyset/window first-row-per-group (SURVEY W2/W7)."""
+    """First-row-per-group (SURVEY W2/W7) as an algebraic argmin:
+    min(struct(o_orderdate, o_orderkey)) elects exactly the
+    row_number()-over-(date, key) winner, but partially aggregates
+    map-side instead of sorting every customer's orders per partition
+    (guide §2.3 — at scale the window ships every order row through the
+    shuffle; the agg ships one row per customer per map task)."""
     orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("e"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("first_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+            F.col("e.o_orderkey").alias("first_orderkey"),
+            F.date_format("e.o_orderdate", "yyyy-MM-dd")
+             .alias("first_orderdate"),
         )
     )
 
@@ -397,15 +402,17 @@ ORDER BY ts, event_id LIMIT 50
 
 def q_event_dedup(spark, sf_dir):
     """Duplicate-comm dedup (SURVEY W7): keep first per
-    (user, type, minute), count survivors per user."""
+    (user, type, minute), count survivors per user. One survivor exists
+    per distinct (type, minute) within a user, so the survivor COUNT is
+    a countDistinct — one hash aggregation with map-side partials,
+    replacing a sort-every-partition row_number window that shipped every
+    event row through the shuffle (guide §2.3)."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy(
-        "user_id", "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm")).orderBy("ts", "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .groupBy("user_id").agg(F.count("*").alias("n_dedup"))
+        ev.groupBy("user_id")
+        .agg(F.countDistinct(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH:mm"))
+            .alias("n_dedup"))
         .orderBy("user_id")
     )
 
